@@ -1,0 +1,144 @@
+"""Loss primitives: SSIM, photometric reprojection, edge-aware smoothness,
+scale-invariant log (GAN prior), min-reprojection automasking.
+
+Re-implements the reference loss semantics (`/root/reference/layers.py:286-332`,
+`/root/reference/trainer.py:543-686`) in pure jnp over NHWC tensors. Everything
+here is elementwise/windowed math that XLA fuses into the surrounding train
+step; the 3x3 average pools lower to reduce-window ops on the VPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_SSIM_C1 = 0.01 ** 2
+_SSIM_C2 = 0.03 ** 2
+
+
+def _avg_pool3(x):
+    """3x3/stride-1 VALID average pool over NHWC."""
+    out = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 1, 1, 1),
+        padding="VALID",
+    )
+    return out / 9.0
+
+
+def ssim(x, y):
+    """Structural dissimilarity: clamp((1 - SSIM(x, y)) / 2, 0, 1).
+
+    Matches the reference's 3x3 avg-pool SSIM with reflection padding
+    (`/root/reference/layers.py:302-332`). Inputs/outputs are NHWC with the
+    same spatial shape.
+    """
+    pad = [(0, 0), (1, 1), (1, 1), (0, 0)]
+    x = jnp.pad(x, pad, mode="reflect")
+    y = jnp.pad(y, pad, mode="reflect")
+
+    mu_x = _avg_pool3(x)
+    mu_y = _avg_pool3(y)
+    sigma_x = _avg_pool3(x * x) - mu_x * mu_x
+    sigma_y = _avg_pool3(y * y) - mu_y * mu_y
+    sigma_xy = _avg_pool3(x * y) - mu_x * mu_y
+
+    ssim_n = (2.0 * mu_x * mu_y + _SSIM_C1) * (2.0 * sigma_xy + _SSIM_C2)
+    ssim_d = (mu_x * mu_x + mu_y * mu_y + _SSIM_C1) * (sigma_x + sigma_y + _SSIM_C2)
+    return jnp.clip((1.0 - ssim_n / ssim_d) * 0.5, 0.0, 1.0)
+
+
+def reprojection_loss(pred, target, use_ssim: bool = True):
+    """Per-pixel photometric error, (B, H, W, 1).
+
+    0.85 * SSIM + 0.15 * L1 (channel-meaned), matching
+    `/root/reference/trainer.py:543-555`; pure L1 when `use_ssim` is False
+    (the reference's --no_ssim ablation).
+    """
+    l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
+    if not use_ssim:
+        return l1
+    ssim_term = jnp.mean(ssim(pred, target), axis=-1, keepdims=True)
+    return 0.85 * ssim_term + 0.15 * l1
+
+
+def smooth_loss(disp, img):
+    """Edge-aware first-order smoothness, scalar.
+
+    Matches `/root/reference/layers.py:286-299`. `disp` (B, H, W, 1) should be
+    mean-normalized by the caller; `img` (B, H, W, 3) provides edges.
+    """
+    grad_disp_x = jnp.abs(disp[:, :, :-1, :] - disp[:, :, 1:, :])
+    grad_disp_y = jnp.abs(disp[:, :-1, :, :] - disp[:, 1:, :, :])
+
+    grad_img_x = jnp.mean(jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :]),
+                          axis=-1, keepdims=True)
+    grad_img_y = jnp.mean(jnp.abs(img[:, :-1, :, :] - img[:, 1:, :, :]),
+                          axis=-1, keepdims=True)
+
+    grad_disp_x = grad_disp_x * jnp.exp(-grad_img_x)
+    grad_disp_y = grad_disp_y * jnp.exp(-grad_img_y)
+    return jnp.mean(grad_disp_x) + jnp.mean(grad_disp_y)
+
+
+def normalized_disp(disp, eps: float = 1e-7):
+    """Disparity divided by its per-image spatial mean
+    (`/root/reference/trainer.py:676-677`)."""
+    mean = jnp.mean(disp, axis=(1, 2), keepdims=True)
+    return disp / (mean + eps)
+
+
+def silog_loss(fake, real):
+    """Scale-invariant log loss between a pseudo-disparity prior and a
+    prediction, scalar.
+
+    Matches the reference's SLlog (`/root/reference/layers.py:32-56`): pixels
+    where either operand is <= 0 are excluded (set to 1 -> zero log-diff), N
+    counts strictly-positive `real` pixels, and the loss is the std-dev form
+    sqrt(E[d^2] - E[d]^2).
+    """
+    n = jnp.sum((real > 0).astype(real.dtype))
+    invalid = (real <= 0) | (fake <= 0)
+    real_v = jnp.where(invalid, 1.0, real)
+    fake_v = jnp.where(invalid, 1.0, fake)
+    d = jnp.log(real_v) - jnp.log(fake_v)
+    n = jnp.maximum(n, 1.0)
+    return jnp.sqrt(jnp.sum(d * d) / n - (jnp.sum(d) / n) ** 2)
+
+
+def min_reprojection(reproj, identity_reproj, rng, avg_reprojection=False):
+    """Min-over-sources reprojection with identity automasking.
+
+    Args:
+      reproj: (B, H, W, S) per-source reprojection losses.
+      identity_reproj: (B, H, W, S) identity (unwarped) losses, or None when
+        automasking is disabled.
+      rng: PRNG key for the reference's 1e-5 randn tie-break
+        (`/root/reference/trainer.py:655-657`).
+
+    Returns:
+      (to_optimise (B, H, W), automask (B, H, W) or None) matching
+      `/root/reference/trainer.py:649-670` (automask = 1 where a true
+      reprojection, not an identity, won the min).
+    """
+    if avg_reprojection:
+        reproj = jnp.mean(reproj, axis=-1, keepdims=True)
+
+    if identity_reproj is None:
+        if reproj.shape[-1] == 1:
+            return reproj[..., 0], None
+        return jnp.min(reproj, axis=-1), None
+
+    if avg_reprojection:
+        identity_reproj = jnp.mean(identity_reproj, axis=-1, keepdims=True)
+
+    noise = jax.random.normal(rng, identity_reproj.shape,
+                              identity_reproj.dtype) * 1e-5
+    identity_reproj = identity_reproj + noise
+
+    combined = jnp.concatenate([identity_reproj, reproj], axis=-1)
+    to_optimise = jnp.min(combined, axis=-1)
+    idxs = jnp.argmin(combined, axis=-1)
+    automask = (idxs > identity_reproj.shape[-1] - 1).astype(reproj.dtype)
+    return to_optimise, automask
