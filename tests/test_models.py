@@ -1,0 +1,160 @@
+"""Shape/dtype tests for the Flax model zoo (reference layer L2,
+`/root/reference/networks/`) plus torch-oracle parity for the custom
+transposed-conv upsampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from unsupervised_pose_estimation_tpu.models import (
+    DepthDecoder, GeneratorResNet, PatchGANDiscriminator, PoseCNN,
+    PoseDecoder, ResNetEncoder)
+from unsupervised_pose_estimation_tpu.models.layers import Deconv2x
+from unsupervised_pose_estimation_tpu.models.resnet import encoder_channels
+
+
+def _init_and_run(model, *args, train=False, rngs=None):
+    rngs = rngs or {"params": jax.random.PRNGKey(0)}
+    variables = model.init(rngs, *args, train) if _takes_train(model) else \
+        model.init(rngs, *args)
+    if _takes_train(model):
+        out = model.apply(variables, *args, train,
+                          mutable=["batch_stats"] if train else False)
+        return (out[0], variables) if train else (out, variables)
+    return model.apply(variables, *args), variables
+
+
+def _takes_train(model):
+    return isinstance(model, (ResNetEncoder, DepthDecoder))
+
+
+def test_resnet18_pyramid_shapes():
+    x = jnp.zeros((2, 192, 192, 3))
+    feats, _ = _init_and_run(ResNetEncoder(num_layers=18), x)
+    widths = encoder_channels(18)
+    assert len(feats) == 5
+    for i, f in enumerate(feats):
+        s = 2 ** (i + 1)
+        assert f.shape == (2, 192 // s, 192 // s, widths[i]), (i, f.shape)
+
+
+def test_resnet50_pyramid_widths():
+    x = jnp.zeros((1, 64, 64, 3))
+    feats, _ = _init_and_run(ResNetEncoder(num_layers=50), x)
+    assert tuple(f.shape[-1] for f in feats) == encoder_channels(50) \
+        == (64, 256, 512, 1024, 2048)
+
+
+def test_resnet_multi_image_input():
+    # pose encoder consumes 2 stacked frames (resnet_encoder.py:18-41)
+    x = jnp.zeros((1, 96, 96, 6))
+    feats, _ = _init_and_run(ResNetEncoder(num_layers=18,
+                                           num_input_images=2), x)
+    assert feats[0].shape == (1, 48, 48, 64)
+
+
+def test_depth_decoder_shapes_fork_variant():
+    b, h, w = 2, 96, 96
+    widths = encoder_channels(18)
+    feats = [jnp.zeros((b, h // 2 ** (i + 1), w // 2 ** (i + 1), widths[i]))
+             for i in range(5)]
+    model = DepthDecoder(scales=(0, 1, 2, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feats, False)
+    # BatchNorm must be registered (fixes reference defect, SURVEY.md §8.3)
+    assert "batch_stats" in variables
+    assert any(k.startswith("bn_") for k in variables["params"])
+    out = model.apply(variables, feats, False)
+    for s in range(4):
+        assert out[s].shape == (b, h // 2 ** s, w // 2 ** s, 1)
+        v = np.asarray(out[s])
+        assert v.min() >= 0.0 and v.max() <= 1.0  # sigmoid output
+
+
+def test_depth_decoder_upstream_variant():
+    b, h, w = 1, 64, 64
+    widths = encoder_channels(18)
+    feats = [jnp.zeros((b, h // 2 ** (i + 1), w // 2 ** (i + 1), widths[i]))
+             for i in range(5)]
+    model = DepthDecoder(variant="upstream")
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feats, False)
+    assert "batch_stats" not in variables
+    out = model.apply(variables, feats, False)
+    assert out[0].shape == (b, h, w, 1)
+
+
+def test_depth_decoder_multi_channel_output():
+    # predictive_mask uses num_output_channels = num_source_frames
+    b, h, w = 1, 32, 32
+    widths = encoder_channels(18)
+    feats = [jnp.zeros((b, h // 2 ** (i + 1), w // 2 ** (i + 1), widths[i]))
+             for i in range(5)]
+    model = DepthDecoder(num_output_channels=2)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feats, False)
+    out = model.apply(variables, feats, False)
+    assert out[0].shape == (b, h, w, 2)
+
+
+def test_deconv2x_matches_torch_convtranspose(rng_np):
+    """Deconv2x must equal ConvTranspose2d(k=3, s=2, p=1, op=1)
+    (depth_decoder.py:33) for imported weights."""
+    b, h, w, cin, cout = 2, 7, 9, 4, 5
+    x = rng_np.normal(size=(b, h, w, cin)).astype(np.float32)
+    weight = rng_np.normal(size=(cin, cout, 3, 3)).astype(np.float32) * 0.2
+    bias = rng_np.normal(size=(cout,)).astype(np.float32)
+
+    ref = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(weight),
+        torch.from_numpy(bias), stride=2, padding=1, output_padding=1)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    model = Deconv2x(cout)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # torch weight (in, out, kh, kw) -> ours (kh, kw, out, in)
+    params = {"kernel": jnp.asarray(weight.transpose(2, 3, 1, 0)),
+              "bias": jnp.asarray(bias)}
+    out = model.apply({"params": params}, jnp.asarray(x))
+    assert out.shape == (b, 2 * h, 2 * w, cout)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_pose_decoder_output():
+    feats = [jnp.zeros((3, 6, 6, 512))]
+    model = PoseDecoder(num_input_features=1, num_frames_to_predict_for=2)
+    (aa, t), _ = _init_and_run(model, [feats])
+    assert aa.shape == (3, 2, 1, 3)
+    assert t.shape == (3, 2, 1, 3)
+
+
+def test_pose_cnn_output():
+    x = jnp.zeros((2, 192, 192, 6))
+    (aa, t), _ = _init_and_run(PoseCNN(num_input_frames=2), x)
+    assert aa.shape == (2, 1, 1, 3)
+    assert t.shape == (2, 1, 1, 3)
+
+
+def test_generator_resnet_grayscale_shape():
+    x = jnp.zeros((1, 192, 192, 1))
+    out, _ = _init_and_run(GeneratorResNet(channels=1,
+                                           num_residual_blocks=2), x)
+    # kernel-6/pad-2 asymmetry is intentional (SURVEY.md §8.8): dims are
+    # only self-consistent for the C=1 grayscale use, where 192 -> 192.
+    assert out.shape == (1, 192, 192, 1)
+    v = np.asarray(out)
+    assert v.min() >= -1.0 and v.max() <= 1.0
+
+
+def test_patchgan_discriminator_shape():
+    x = jnp.zeros((2, 192, 192, 1))
+    out, _ = _init_and_run(PatchGANDiscriminator(), x)
+    assert out.shape == (2, 12, 12, 1)  # (H/16, W/16)
+
+
+def test_resnet_encoder_train_mode_updates_stats():
+    x = jnp.ones((2, 64, 64, 3)) * 0.5
+    model = ResNetEncoder(num_layers=18)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, False)
+    _, mutated = model.apply(variables, x, True, mutable=["batch_stats"])
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))

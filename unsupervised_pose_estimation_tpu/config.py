@@ -1,0 +1,197 @@
+"""Configuration: a typed dataclass mirroring the reference's argparse surface.
+
+Covers every training/ablation/eval flag of `/root/reference/options.py:9-272`
+(same names, same defaults) and supplies the evaluation options class the
+reference ships broken (`options_eval` is imported by
+`/root/reference/evaluate_pose.py:11` and `/root/reference/test_simple.py:14`
+but absent — SURVEY.md §8.2). TPU-specific knobs (mesh shape, compute dtype,
+prefetch) are additive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class Options:
+    # PATHS (options.py:14-28)
+    data_path: str = "data"
+    log_dir: str = "logs"
+    tra_path: str = "data"
+
+    # TRAINING (options.py:31-125)
+    pre_trained_generator: bool = False
+    generator_weights: Optional[str] = None  # .pth or orbax dir for the prior
+    model_name: str = "mdp"
+    split: str = "endovis"
+    num_layers: int = 18
+    dataset: str = "endovis"
+    png: bool = False
+    height: int = 192
+    width: int = 192
+    disparity_smoothness: float = 1e-4
+    position_smoothness: float = 1e-3
+    consistency_constraint: float = 0.01
+    epipolar_constraint: float = 0.01
+    geometry_constraint: float = 0.01
+    transform_constraint: float = 0.01
+    transform_smoothness: float = 0.01
+    scales: Tuple[int, ...] = (0, 1, 2, 3)
+    min_depth: float = 0.1
+    max_depth: float = 150.0
+    use_stereo: bool = False
+    frame_ids: Tuple[int, ...] = (0, -1, 1)
+    eval_pose_trajectory: bool = True
+
+    # OPTIMIZATION (options.py:127-147)
+    batch_size: int = 16
+    learning_rate: float = 1e-4  # train.py:32 overrides options.py's 1e-6
+    num_epochs: int = 10
+    scheduler_step_size: int = 10
+
+    # ABLATIONS (options.py:149-177)
+    v1_multiscale: bool = False
+    avg_reprojection: bool = False
+    disable_automasking: bool = False
+    predictive_mask: bool = False
+    no_ssim: bool = False
+    weights_init: str = "pretrained"
+    pose_model_input: str = "pairs"
+    pose_model_type: str = "separate_resnet"
+
+    # SYSTEM (options.py:179-186)
+    no_cuda: bool = False  # accepted for CLI parity; ignored on TPU
+    num_workers: int = 12
+
+    # LOADING (options.py:188-197)
+    load_weights_folder: Optional[str] = None
+    models_to_load: Tuple[str, ...] = ("pose_encoder", "pose", "depth",
+                                       "encoder")
+
+    # LOGGING (options.py:199-213)
+    sampling_frequency: int = 1
+    log_frequency: int = 100
+    save_frequency: int = 1
+
+    # EVALUATION (options.py:215-271)
+    eval_stereo: bool = False
+    eval_mono: bool = False
+    wandb_sweep: bool = False
+    disable_median_scaling: bool = False
+    pred_depth_scale_factor: float = 1.0
+    ext_disp_to_eval: Optional[str] = None
+    eval_split: str = "endovis"
+    save_pred_disps: bool = False
+    no_eval: bool = False
+    eval_eigen_to_benchmark: bool = False
+    adversarial_prior: bool = False
+    discriminator_lr: float = 2e-4
+    b1: float = 0.5
+    b2: float = 0.999
+    eval_out_dir: Optional[str] = None
+    post_process: bool = False
+
+    # TPU-NATIVE additions (no reference counterpart)
+    compute_dtype: str = "bfloat16"  # conv compute precision on the MXU
+    mesh_data: int = -1  # data-parallel axis size; -1 = all devices
+    mesh_fsdp: int = 1   # parameter-sharding axis size
+    prefetch: int = 2    # host->HBM pipeline depth
+    seed: int = 0
+    log_jsonl: bool = True
+    profile_dir: Optional[str] = None  # write XProf traces here if set
+    synthetic_data: bool = False  # fabricated frames (tests/benchmarks)
+    steps_per_epoch: Optional[int] = None  # cap steps (smoke tests)
+    wandb: bool = False  # opt-in W&B logging
+
+    # ------------------------------------------------------------------
+    @property
+    def num_scales(self) -> int:
+        return len(self.scales)
+
+    @property
+    def num_input_frames(self) -> int:
+        return len(self.frame_ids)
+
+    @property
+    def num_pose_frames(self) -> int:
+        return 2 if self.pose_model_input == "pairs" else self.num_input_frames
+
+    @property
+    def use_pose_net(self) -> bool:
+        # trainer.py:91
+        return not (self.use_stereo and tuple(self.frame_ids) == (0,))
+
+    @property
+    def source_frame_ids(self) -> Tuple:
+        ids = [f for f in self.frame_ids if f != 0]
+        if self.use_stereo:
+            ids = ids + ["s"]
+        return tuple(ids)
+
+    def validate(self):
+        assert self.height % 32 == 0, "'height' must be a multiple of 32"
+        assert self.width % 32 == 0, "'width' must be a multiple of 32"
+        assert self.frame_ids[0] == 0, "frame_ids must start with 0"
+        if self.predictive_mask:
+            assert self.disable_automasking, (
+                "When using predictive_mask, please disable automasking "
+                "with --disable_automasking")
+        return self
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Options":
+        raw = json.loads(text)
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in raw.items() if k in known}
+        for key in ("scales", "frame_ids", "models_to_load"):
+            if key in kwargs and kwargs[key] is not None:
+                kwargs[key] = tuple(kwargs[key])
+        return cls(**kwargs)
+
+
+def _add_args(parser: argparse.ArgumentParser):
+    for field in dataclasses.fields(Options):
+        name = "--" + field.name
+        default = field.default
+        if field.type in ("bool", bool) or isinstance(default, bool):
+            if default:  # store_false flags (e.g. eval_pose_trajectory)
+                parser.add_argument(name, dest=field.name,
+                                    action="store_false")
+            else:
+                parser.add_argument(name, action="store_true")
+        elif isinstance(default, tuple):
+            elem = int if (not default or isinstance(default[0], int)) else str
+            parser.add_argument(name, nargs="+", type=elem,
+                                default=list(default))
+        elif default is None:
+            parser.add_argument(name, type=str, default=None)
+        elif isinstance(default, int):
+            parser.add_argument(name, type=int, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(name, type=float, default=default)
+        else:
+            parser.add_argument(name, type=str, default=default)
+
+
+def parse_options(argv: Optional[Sequence[str]] = None,
+                  description: str = "Monodepth TPU options") -> Options:
+    parser = argparse.ArgumentParser(description=description)
+    _add_args(parser)
+    ns = parser.parse_args(argv)
+    kwargs = vars(ns)
+    for key in ("scales", "frame_ids", "models_to_load"):
+        kwargs[key] = tuple(kwargs[key])
+    return Options(**kwargs)
+
+
+# Alias mirroring the reference class names (options.py:9, and the missing
+# options_eval module's MonodepthEvalOptions).
+MonodepthOptions = Options
+MonodepthEvalOptions = Options
