@@ -1,0 +1,85 @@
+"""Benchmark: fused train-step throughput on the flagship config.
+
+Runs the full training step (ResNet-18 depth encoder + fork decoder, pose
+ResNet over batched pairs, 4-scale view synthesis + loss, backward, Adam) at
+the canonical monodepth2 feed 640x192 / batch 12
+(`/root/reference/options_1.py:52-59`) on whatever accelerator JAX sees (one
+TPU chip under the driver), with device-resident synthetic data so pure
+compute throughput is measured.
+
+Prints ONE JSON line:
+  {"metric": "train_frames_per_sec", "value": N, "unit": "frames/s",
+   "vs_baseline": N / TORCH_CPU_BASELINE_FPS}
+
+The baseline denominator is the PyTorch-CPU reference-equivalent step
+measured by scripts/measure_torch_baseline.py on this machine (recorded in
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+# PyTorch reference-equivalent training step, CPU, 640x192 batch 12
+# (scripts/measure_torch_baseline.py; see BASELINE.md "Measured" row).
+TORCH_CPU_BASELINE_FPS = 2.23
+
+HEIGHT, WIDTH, BATCH = 192, 640, 12
+WARMUP, STEPS = 3, 10
+
+
+def main():
+    from unsupervised_pose_estimation_tpu.config import Options
+    from unsupervised_pose_estimation_tpu.train.bundle import ModelBundle
+    from unsupervised_pose_estimation_tpu.train.state import \
+        create_train_state
+    from unsupervised_pose_estimation_tpu.train.step import build_train_step
+
+    cfg = Options(height=HEIGHT, width=WIDTH, batch_size=BATCH,
+                  num_layers=18, compute_dtype="bfloat16").validate()
+    bundle = ModelBundle.create(cfg)
+    state = create_train_state(bundle, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+
+    rng = np.random.default_rng(0)
+    f = cfg.num_input_frames
+    batch = {
+        "color": rng.uniform(size=(BATCH, f, HEIGHT, WIDTH, 3)
+                             ).astype(np.float32),
+        "color_aug": rng.uniform(size=(BATCH, f, HEIGHT, WIDTH, 3)
+                                 ).astype(np.float32),
+        "K_norm": np.tile(np.asarray(
+            [[0.635, 0, 0.48, 0], [0, 0.634, 0.5, 0],
+             [0, 0, 1, 0], [0, 0, 0, 1]], np.float32), (BATCH, 1, 1)),
+    }
+    batch = jax.device_put(batch)
+
+    step = build_train_step(bundle)
+    key = jax.random.PRNGKey(1)
+    for i in range(WARMUP):
+        key, sub = jax.random.split(key)
+        state, losses = step(state, batch, sub)
+    jax.block_until_ready(losses["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, losses = step(state, batch, sub)
+    jax.block_until_ready(losses["loss"])
+    dt = time.perf_counter() - t0
+
+    fps = STEPS * BATCH / dt
+    print(json.dumps({
+        "metric": "train_frames_per_sec",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / TORCH_CPU_BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Tests for the Options dataclass / CLI flag surface
+(`/root/reference/options.py:9-272` parity)."""
+
+import pytest
+
+from unsupervised_pose_estimation_tpu.config import (MonodepthEvalOptions,
+                                                     Options, parse_options)
+
+
+def test_reference_defaults():
+    o = Options()
+    # options.py:59-66,104-107,127-138
+    assert (o.height, o.width) == (192, 192)
+    assert (o.min_depth, o.max_depth) == (0.1, 150.0)
+    assert o.batch_size == 16
+    assert o.num_epochs == 10
+    assert tuple(o.scales) == (0, 1, 2, 3)
+    assert tuple(o.frame_ids) == (0, -1, 1)
+    assert o.dataset == "endovis" and o.split == "endovis"
+    assert o.pose_model_type == "separate_resnet"
+    assert o.disparity_smoothness == 1e-4
+
+
+def test_parse_cli_flags():
+    o = parse_options(["--height", "224", "--width", "224", "--scales", "0",
+                       "1", "--frame_ids", "0", "-1", "1", "--use_stereo",
+                       "--num_layers", "50", "--learning_rate", "1e-5"])
+    assert o.height == 224
+    assert tuple(o.scales) == (0, 1)
+    assert o.use_stereo is True
+    assert o.num_layers == 50
+    assert o.learning_rate == 1e-5
+
+
+def test_validate_rejects_bad_dims():
+    with pytest.raises(AssertionError, match="multiple of 32"):
+        Options(height=100).validate()
+    with pytest.raises(AssertionError, match="start with 0"):
+        Options(frame_ids=(1, 0)).validate()
+    with pytest.raises(AssertionError, match="disable_automasking"):
+        Options(predictive_mask=True).validate()
+
+
+def test_derived_properties():
+    o = Options()
+    assert o.num_scales == 4
+    assert o.num_pose_frames == 2
+    assert o.use_pose_net
+    assert o.source_frame_ids == (-1, 1)
+    s = Options(use_stereo=True, frame_ids=(0,))
+    assert not s.use_pose_net  # trainer.py:91
+    assert s.source_frame_ids == ("s",)
+    a = Options(pose_model_input="all")
+    assert a.num_pose_frames == 3
+
+
+def test_json_roundtrip():
+    o = Options(height=256, width=320, scales=(0, 1))
+    o2 = Options.from_json(o.to_json())
+    assert o2 == o
+
+
+def test_eval_options_alias_exists():
+    # the reference ships with options_eval missing (SURVEY.md §8.2)
+    assert MonodepthEvalOptions is Options

@@ -1,0 +1,134 @@
+"""Tests for the host-side data pipeline (reference layer L3,
+`/root/reference/datasets/`)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from unsupervised_pose_estimation_tpu.data import (
+    Loader, LungRAWDataset, SyntheticDataset, parse_split_line)
+from unsupervised_pose_estimation_tpu.data.augment import (AugmentParams,
+                                                           apply_augment)
+
+
+@pytest.fixture
+def lung_tree(tmp_path):
+    """Fabricate a lung-style dataset: <data>/<folder>/<10-digit>.png."""
+    folder = tmp_path / "seq1"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    for idx in range(30):
+        arr = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(folder / f"{idx:010d}.png")
+    lines = [f"seq1 {i} l" for i in range(3, 27)]
+    return str(tmp_path), lines
+
+
+def test_parse_split_line():
+    assert parse_split_line("seq1 17 l") == ("seq1", 17, "l")
+    assert parse_split_line("seq1") == ("seq1", 0, None)
+
+
+def test_lung_dataset_item_contract(lung_tree):
+    data_path, lines = lung_tree
+    ds = LungRAWDataset(data_path, lines, height=32, width=32,
+                        frame_idxs=[0, -1, 1], is_train=True,
+                        sampling_frequency=2)
+    item = ds.get_item(0)
+    assert item["color"].shape == (3, 32, 32, 3)
+    assert item["color_aug"].shape == (3, 32, 32, 3)
+    assert item["K_norm"].shape == (4, 4)
+    assert item["color"].dtype == np.float32
+    assert 0.0 <= item["color"].min() and item["color"].max() <= 1.0
+    # normalized K per lung_dataset.py:19-22
+    np.testing.assert_allclose(item["K_norm"][0, 0], 0.635)
+
+
+def test_lung_dataset_sampling_frequency_strides_frames(lung_tree):
+    data_path, lines = lung_tree
+    for sf in (1, 3):
+        ds = LungRAWDataset(data_path, lines, height=32, width=32,
+                            frame_idxs=[0, -1, 1], is_train=False,
+                            sampling_frequency=sf)
+        folder, base, side = parse_split_line(lines[5])
+        paths = [ds.get_image_path(folder, base + i * sf, side)
+                 for i in (0, -1, 1)]
+        for p in paths:
+            assert os.path.isfile(p), p
+
+
+def test_item_determinism(lung_tree):
+    data_path, lines = lung_tree
+    ds = LungRAWDataset(data_path, lines, height=32, width=32,
+                        frame_idxs=[0, -1, 1], is_train=True)
+    a = ds.get_item(4, epoch=2)
+    b = ds.get_item(4, epoch=2)
+    np.testing.assert_array_equal(a["color_aug"], b["color_aug"])
+    # different epochs draw different augmentations for at least one item
+    differs = any(
+        not np.array_equal(ds.get_item(i, epoch=2)["color_aug"],
+                           ds.get_item(i, epoch=3)["color_aug"])
+        for i in range(10))
+    assert differs
+
+
+def test_stereo_items(lung_tree):
+    data_path, lines = lung_tree
+    ds = LungRAWDataset(data_path, lines, height=32, width=32,
+                        frame_idxs=[0, -1, 1, "s"], is_train=False)
+    item = ds.get_item(0)
+    assert item["color"].shape == (4, 32, 32, 3)
+    T = item["stereo_T"]
+    assert abs(T[0, 3]) == pytest.approx(0.1)  # mono_dataset2.py:197-203
+
+
+def test_augment_identity_when_disabled():
+    img = Image.fromarray(np.full((8, 8, 3), 128, np.uint8))
+    out = apply_augment(img, AugmentParams(enabled=False))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
+def test_augment_draw_distribution():
+    rng = np.random.default_rng(0)
+    draws = [AugmentParams.draw(rng, True) for _ in range(400)]
+    frac = np.mean([d.enabled for d in draws])
+    assert 0.4 < frac < 0.6  # p=0.5 gate (mono_dataset2.py:155)
+    assert all(not d.enabled for d in
+               (AugmentParams.draw(rng, False) for _ in range(10)))
+
+
+def test_synthetic_dataset_translates_texture():
+    ds = SyntheticDataset(4, 32, 48, [0, -1, 1], shift=2)
+    item = ds.get_item(0)
+    c = item["color"]
+    # frame +1 shifted by 2 px vs frame 0
+    np.testing.assert_allclose(c[0][:, 2:], c[2][:, :-2], atol=1e-6)
+
+
+def test_loader_batches_and_shards():
+    import jax
+    from unsupervised_pose_estimation_tpu.parallel import (batch_sharding,
+                                                           make_mesh)
+
+    ds = SyntheticDataset(20, 32, 32, [0, -1, 1])
+    mesh = make_mesh(8, 1)
+    loader = Loader(ds, batch_size=16, sharding=batch_sharding(mesh),
+                    num_workers=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 1  # drop_last: 20 // 16
+    b = batches[0]
+    assert b["color"].shape == (16, 3, 32, 32, 3)
+    assert len(b["color"].sharding.device_set) == 8
+
+
+def test_loader_propagates_worker_errors():
+    class Broken(SyntheticDataset):
+        def get_item(self, index, epoch=0):
+            raise RuntimeError("boom")
+
+    ds = Broken(8, 16, 16, [0])
+    loader = Loader(ds, batch_size=4, num_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader.epoch(0))

@@ -171,7 +171,9 @@ def _add_args(parser: argparse.ArgumentParser):
             parser.add_argument(name, nargs="+", type=elem,
                                 default=list(default))
         elif default is None:
-            parser.add_argument(name, type=str, default=None)
+            # Optional[int] fields (e.g. steps_per_epoch) must parse as int
+            elem = int if "int" in str(field.type) else str
+            parser.add_argument(name, type=elem, default=None)
         elif isinstance(default, int):
             parser.add_argument(name, type=int, default=default)
         elif isinstance(default, float):

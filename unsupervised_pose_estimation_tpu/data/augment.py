@@ -1,0 +1,65 @@
+"""Host-side photometric augmentation (numpy/PIL).
+
+Re-implements the reference's per-item augmentation pipeline
+(`/root/reference/datasets/mono_dataset2.py:91-96,155-156,179-187`):
+ColorJitter(brightness/contrast/saturation 0.8-1.2, hue ±0.1),
+RandomAutocontrast, and a horizontal flip — each drawn ONCE per item and
+applied identically to all frames. (The reference's Compose re-draws the flip
+per frame, silently de-synchronising the frames its own docstring promises to
+keep consistent; we implement the documented intent. The geometric do_flip of
+`mono_dataset2.py:156` is separate and applies to both color and color_aug.)
+
+Jitter factors are applied in a fixed order (brightness, contrast,
+saturation, hue) rather than torchvision's random order — same distribution
+family, deterministic given the item RNG.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageOps
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentParams:
+    enabled: bool
+    brightness: float = 1.0
+    contrast: float = 1.0
+    saturation: float = 1.0
+    hue: float = 0.0
+    autocontrast: bool = False
+    hflip: bool = False
+
+    @classmethod
+    def draw(cls, rng: np.random.Generator, is_train: bool) -> "AugmentParams":
+        if not is_train or rng.random() <= 0.5:
+            # do_color_aug = random() > 0.5 (mono_dataset2.py:155)
+            return cls(enabled=False)
+        return cls(
+            enabled=True,
+            brightness=float(rng.uniform(0.8, 1.2)),
+            contrast=float(rng.uniform(0.8, 1.2)),
+            saturation=float(rng.uniform(0.8, 1.2)),
+            hue=float(rng.uniform(-0.1, 0.1)),
+            autocontrast=bool(rng.random() < 0.5),
+            hflip=bool(rng.random() < 0.5),
+        )
+
+
+def apply_augment(img: Image.Image, p: AugmentParams) -> Image.Image:
+    if not p.enabled:
+        return img
+    img = ImageEnhance.Brightness(img).enhance(p.brightness)
+    img = ImageEnhance.Contrast(img).enhance(p.contrast)
+    img = ImageEnhance.Color(img).enhance(p.saturation)
+    if p.hue != 0.0:
+        hsv = np.array(img.convert("HSV"), dtype=np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(p.hue * 255)) % 256
+        img = Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+    if p.autocontrast:
+        img = ImageOps.autocontrast(img)
+    if p.hflip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    return img

@@ -1,0 +1,286 @@
+"""Datasets: endoscopy (lung/phantom, SCARED), KITTI, and a synthetic
+procedural set for tests/benchmarks.
+
+Host-side analogue of the reference's dataset layer (`/root/reference/
+datasets/`), re-shaped for a TPU input pipeline: an item is a dict of dense
+numpy arrays — frames stacked on a leading axis plus ONE normalized K — and
+the multi-scale pyramid / per-scale intrinsics move on-device (see
+ops.resize.image_pyramid, ops.geometry.scaled_intrinsics). That cuts
+host->HBM transfer by the pyramid factor and removes per-item np.linalg.pinv
+calls (`mono_dataset2.py:167-177`).
+
+Item contract (frame axis ordered as cfg.frame_ids, then "s" if stereo):
+    color      (F, H, W, 3) float32 in [0, 1], geometric flip applied
+    color_aug  (F, H, W, 3) float32, same flip + photometric augmentation
+    K_norm     (4, 4) float32, resolution-normalized intrinsics
+    stereo_T   (4, 4) float32, only when "s" in frame_ids
+    depth_gt   (H0, W0) float32, only when the dataset has GT and
+               load_depth is set
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from .augment import AugmentParams, apply_augment
+from .split import parse_split_line
+
+_LANCZOS = Image.LANCZOS  # PIL.Image.ANTIALIAS successor (mono_dataset2.py:57)
+
+
+def pil_loader(path: str) -> Image.Image:
+    with open(path, "rb") as f:
+        with Image.open(f) as img:
+            return img.convert("RGB")
+
+
+class MonoDataset:
+    """Base class: filename list -> frame-triplet items.
+
+    Mirrors the contract of `/root/reference/datasets/mono_dataset2.py:25-226`
+    minus the on-host pyramid (device-side now).
+    """
+
+    K_NORM: np.ndarray = None  # subclass: (4, 4) normalized intrinsics
+    side_map = {"2": 2, "3": 3, "l": 2, "r": 3}
+
+    def __init__(self, data_path: str, filenames: Sequence[str], height: int,
+                 width: int, frame_idxs: Sequence, is_train: bool = False,
+                 img_ext: str = ".png", sampling_frequency: int = 1,
+                 load_depth: bool = False, seed: int = 0):
+        self.data_path = data_path
+        self.filenames = list(filenames)
+        self.height = height
+        self.width = width
+        self.frame_idxs = list(frame_idxs)
+        self.is_train = is_train
+        self.img_ext = img_ext
+        self.sampling_frequency = sampling_frequency
+        # The live reference hardcodes load_depth=False
+        # (mono_dataset2.py:101); opt-in here.
+        self.load_depth = load_depth and self.check_depth()
+        self.seed = seed
+
+    # -- subclass hooks ------------------------------------------------
+    def get_image_path(self, folder: str, frame_index: int,
+                       side: Optional[str]) -> str:
+        raise NotImplementedError
+
+    def check_depth(self) -> bool:
+        return False
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        raise NotImplementedError
+
+    def load_frame(self, folder: str, frame_index: int,
+                   side: Optional[str]) -> Image.Image:
+        return pil_loader(self.get_image_path(folder, frame_index, side))
+
+    # ------------------------------------------------------------------
+    def __len__(self):
+        return len(self.filenames)
+
+    def _rng(self, index: int, epoch: int) -> np.random.Generator:
+        return np.random.default_rng(
+            (self.seed * 1_000_003 + epoch) * 4_000_037 + index)
+
+    def get_item(self, index: int, epoch: int = 0):
+        rng = self._rng(index, epoch)
+        do_flip = self.is_train and rng.random() > 0.5
+        aug = AugmentParams.draw(rng, self.is_train)
+
+        folder, frame_index, side = parse_split_line(self.filenames[index])
+
+        colors, colors_aug = [], []
+        for i in self.frame_idxs:
+            if i == "s":
+                other_side = {"r": "l", "l": "r"}[side]
+                img = self.load_frame(folder, frame_index, other_side)
+            else:
+                # stride: frame_index + i*sampling (mono_dataset2.py:165)
+                img = self.load_frame(
+                    folder, frame_index + i * self.sampling_frequency, side)
+            img = img.resize((self.width, self.height), _LANCZOS)
+            if do_flip:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            colors.append(np.asarray(img, np.float32) / 255.0)
+            colors_aug.append(
+                np.asarray(apply_augment(img, aug), np.float32) / 255.0)
+
+        item = {
+            "color": np.stack(colors, 0),
+            "color_aug": np.stack(colors_aug, 0),
+            "K_norm": self.K_NORM.copy(),
+        }
+
+        if "s" in self.frame_idxs:
+            # mono_dataset2.py:197-203: signed nominal 0.1 baseline
+            stereo_T = np.eye(4, dtype=np.float32)
+            baseline_sign = -1 if do_flip else 1
+            side_sign = -1 if side == "l" else 1
+            stereo_T[0, 3] = side_sign * baseline_sign * 0.1
+            item["stereo_T"] = stereo_T
+
+        if self.load_depth:
+            depth = self.get_depth(folder, frame_index, side, do_flip)
+            item["depth_gt"] = depth.astype(np.float32)
+
+        return item
+
+
+class LungRAWDataset(MonoDataset):
+    """Colonoscopy/phantom frames `<data_path>/<folder>/<10-digit>.png`
+    (`/root/reference/datasets/lung_dataset.py:13-93`; its `return False`
+    constructor defect is intent-fixed per SURVEY.md §8.1)."""
+
+    K_NORM = np.array([[0.635, 0, 0.48, 0],
+                       [0, 0.634, 0.50, 0],
+                       [0, 0, 1, 0],
+                       [0, 0, 0, 1]], dtype=np.float32)
+
+    def get_image_path(self, folder, frame_index, side):
+        return os.path.join(self.data_path, folder,
+                            f"{frame_index:010d}{self.img_ext}")
+
+
+class SCAREDRAWDataset(MonoDataset):
+    """SCARED endoscope stereo (`/root/reference/datasets/
+    scared_dataset.py:13-90`): kitti-style image_0{2,3}/data paths; frames are
+    cropped 64 px at the bottom before resize (:33-45)."""
+
+    K_NORM = np.array([[0.82, 0, 0.5, 0],
+                       [0, 1.02, 0.5, 0],
+                       [0, 0, 1, 0],
+                       [0, 0, 0, 1]], dtype=np.float32)
+
+    def get_image_path(self, folder, frame_index, side):
+        f_str = f"{frame_index:010d}{self.img_ext}"
+        return os.path.join(self.data_path, folder,
+                            f"image_0{self.side_map[side]}/data", f_str)
+
+    def load_frame(self, folder, frame_index, side):
+        img = pil_loader(self.get_image_path(folder, frame_index, side))
+        return img.crop((0, 0, img.size[0], img.size[1] - 64))
+
+
+class KITTIRAWDataset(MonoDataset):
+    """KITTI raw (`/root/reference/datasets/kitti_dataset.py:18-85`)."""
+
+    K_NORM = np.array([[0.58, 0, 0.5, 0],
+                       [0, 1.92, 0.5, 0],
+                       [0, 0, 1, 0],
+                       [0, 0, 0, 1]], dtype=np.float32)
+    FULL_RES = (1242, 375)
+
+    def get_image_path(self, folder, frame_index, side):
+        f_str = f"{frame_index:010d}{self.img_ext}"
+        return os.path.join(self.data_path, folder,
+                            f"image_0{self.side_map[side]}/data", f_str)
+
+    def check_depth(self):
+        line = parse_split_line(self.filenames[0])
+        velo = os.path.join(
+            self.data_path, line[0],
+            f"velodyne_points/data/{line[1]:010d}.bin")
+        return os.path.isfile(velo)
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        from ..eval.kitti_depth import generate_depth_map
+        calib = os.path.join(self.data_path, folder.split("/")[0])
+        velo = os.path.join(self.data_path, folder,
+                            f"velodyne_points/data/{frame_index:010d}.bin")
+        depth = generate_depth_map(calib, velo, self.side_map[side])
+        import numpy as _np
+        from .resample import resize_nearest_np
+        depth = resize_nearest_np(depth, self.FULL_RES[1], self.FULL_RES[0])
+        if do_flip:
+            depth = _np.fliplr(depth)
+        return depth
+
+
+class KITTIOdomDataset(KITTIRAWDataset):
+    """KITTI odometry (`kitti_dataset.py:88-101`)."""
+
+    def get_image_path(self, folder, frame_index, side):
+        f_str = f"{frame_index:06d}{self.img_ext}"
+        return os.path.join(self.data_path,
+                            f"sequences/{int(folder):02d}",
+                            f"image_{self.side_map[side]}", f_str)
+
+    def check_depth(self):
+        return False
+
+
+class SyntheticDataset:
+    """Procedural translating-texture sequences (no disk IO).
+
+    A per-sequence random smooth texture is viewed through a window that
+    slides with frame index — a camera translating parallel to a fronto-
+    parallel plane. Used by loss-descends tests and benchmarks (SURVEY.md §4).
+    """
+
+    K_NORM = LungRAWDataset.K_NORM
+
+    def __init__(self, num_items: int, height: int, width: int,
+                 frame_idxs: Sequence, is_train: bool = True,
+                 sampling_frequency: int = 1, seed: int = 0, shift: int = 2,
+                 **_):
+        self.num_items = num_items
+        self.height = height
+        self.width = width
+        self.frame_idxs = [f for f in frame_idxs if f != "s"]
+        self.is_train = is_train
+        self.sampling_frequency = sampling_frequency
+        self.seed = seed
+        self.shift = shift
+        self.load_depth = False
+
+    def __len__(self):
+        return self.num_items
+
+    def _texture(self, rng: np.random.Generator, h: int, w: int):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.zeros((h, w, 3), np.float32)
+        for _ in range(6):
+            fx, fy = rng.uniform(0.01, 0.15, 2)
+            phase = rng.uniform(0, 2 * np.pi, 3)
+            amp = rng.uniform(0.1, 0.3, 3)
+            for ch in range(3):
+                img[..., ch] += amp[ch] * np.sin(
+                    2 * np.pi * (fx * xx + fy * yy) + phase[ch])
+        img -= img.min()
+        img /= max(img.max(), 1e-6)
+        return img
+
+    def get_item(self, index: int, epoch: int = 0):
+        rng = np.random.default_rng(self.seed * 77_003 + index)
+        margin = self.shift * self.sampling_frequency * \
+            (max(abs(int(f)) for f in self.frame_idxs) + 1)
+        tex = self._texture(rng, self.height, self.width + 2 * margin)
+        colors = []
+        for i in self.frame_idxs:
+            off = margin + int(i) * self.shift * self.sampling_frequency
+            colors.append(tex[:, off:off + self.width])
+        color = np.stack(colors, 0)
+        return {"color": color, "color_aug": color.copy(),
+                "K_norm": self.K_NORM.copy()}
+
+
+DATASETS = {
+    "endovis": LungRAWDataset,
+    "scared": SCAREDRAWDataset,
+    "kitti": KITTIRAWDataset,
+    "kitti_odom": KITTIOdomDataset,
+    "synthetic": SyntheticDataset,
+}
+
+
+def make_dataset(name: str, **kwargs):
+    if name not in DATASETS:
+        raise ValueError(f"unknown dataset '{name}' "
+                         f"(have {sorted(DATASETS)})")
+    return DATASETS[name](**kwargs)

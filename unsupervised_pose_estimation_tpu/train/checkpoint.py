@@ -1,0 +1,261 @@
+"""Checkpointing: atomic orbax save/restore with mid-run resume, plus a
+PyTorch ``.pth`` import shim for reference checkpoints.
+
+Upgrades over the reference (SURVEY.md §5): the reference writes one raw
+``.pth`` per model per epoch with no atomicity and no mid-epoch resume
+(`/root/reference/trainer.py:778-823`); here the whole TrainState (params, BN
+stats, Adam moments, step counter) is one atomic orbax checkpoint, and
+``latest_step``/``restore`` give crash-safe resume.
+
+The import shim maps reference state_dicts onto our Flax trees so numeric
+parity can be checked model-by-model (SURVEY.md §7 step 2):
+  * conv weight (O, I, kh, kw) -> (kh, kw, I, O)
+  * transposed conv (I, O, kh, kw) -> (kh, kw, O, I) (see models.layers.Deconv2x)
+  * BatchNorm weight/bias/running_mean/running_var -> scale/bias/mean/var
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+# ---------------------------------------------------------------------------
+# orbax save / restore
+# ---------------------------------------------------------------------------
+
+
+def _manager(directory: str, keep: int = 10) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                             create=True))
+
+
+def save_checkpoint(directory: str, state: TrainState, cfg=None,
+                    keep: int = 10, wait: bool = True):
+    mgr = _manager(directory, keep)
+    step = int(state.step)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    if wait:
+        mgr.wait_until_finished()
+    if cfg is not None:
+        # opt.json analogue (trainer.py:767-776)
+        with open(os.path.join(directory, "opt.json"), "w") as f:
+            f.write(cfg.to_json())
+    mgr.close()
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(directory: str, target: TrainState,
+                       step: Optional[int] = None) -> TrainState:
+    mgr = _manager(directory)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {directory}")
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    mgr.close()
+    return restored
+
+
+# ---------------------------------------------------------------------------
+# PyTorch .pth import shim
+# ---------------------------------------------------------------------------
+
+
+def _load_pth(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    for k, v in raw.items():
+        if hasattr(v, "numpy"):
+            out[k] = v.detach().numpy()
+        else:
+            out[k] = v  # height/width/use_stereo metadata ints
+    return out
+
+
+def _conv_w(v):  # torch (O, I, kh, kw) -> flax (kh, kw, I, O)
+    return np.transpose(v, (2, 3, 1, 0))
+
+
+def _deconv_w(v):  # torch transposed-conv (I, O, kh, kw) -> (kh, kw, O, I)
+    return np.transpose(v, (2, 3, 1, 0))
+
+
+def _bn(sd, prefix):
+    return (
+        {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]},
+        {"mean": sd[prefix + ".running_mean"],
+         "var": sd[prefix + ".running_var"]},
+    )
+
+
+def import_resnet_encoder(path: str, num_layers: int = 18
+                          ) -> Dict[str, Dict[str, Any]]:
+    """Reference encoder ``.pth`` -> {'params', 'batch_stats', 'meta'}.
+
+    Key layout per torchvision resnet wrapped under ``encoder.`` as saved by
+    `/root/reference/trainer.py:785-793`.
+    """
+    sd = _load_pth(path)
+    meta = {k: sd.pop(k) for k in ("height", "width", "use_stereo")
+            if k in sd}
+    pre = "encoder."
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    p, s = _bn(sd, pre + "bn1")
+    params["stem"] = {"conv": {"kernel": _conv_w(sd[pre + "conv1.weight"])},
+                      "bn": p}
+    stats["stem"] = {"bn": s}
+
+    bottleneck = num_layers in (50, 101, 152)
+    n_convs = 3 if bottleneck else 2
+    for key in list(sd):
+        m = re.match(r"encoder\.layer(\d)\.(\d+)\.(.+)", key)
+        if not m:
+            continue
+        stage, block, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        name = f"layer{stage}_{block}"
+        params.setdefault(name, {})
+        stats.setdefault(name, {})
+        for ci in range(1, n_convs + 1):
+            if rest == f"conv{ci}.weight":
+                params[name].setdefault(f"cb{ci}", {})["conv"] = {
+                    "kernel": _conv_w(sd[key])}
+            elif rest.startswith(f"bn{ci}."):
+                if f"bn" in params[name].get(f"cb{ci}", {}):
+                    continue
+                p, s = _bn(sd, f"encoder.layer{stage}.{block}.bn{ci}")
+                params[name].setdefault(f"cb{ci}", {})["bn"] = p
+                stats[name][f"cb{ci}"] = {"bn": s}
+        if rest == "downsample.0.weight":
+            params[name].setdefault("down", {})["conv"] = {
+                "kernel": _conv_w(sd[key])}
+        elif rest.startswith("downsample.1."):
+            if "bn" not in params[name].get("down", {}):
+                p, s = _bn(sd, f"encoder.layer{stage}.{block}.downsample.1")
+                params[name].setdefault("down", {})["bn"] = p
+                stats[name]["down"] = {"bn": s}
+    return {"params": params, "batch_stats": stats, "meta": meta}
+
+
+def import_depth_decoder(path: str, scales=(0, 1, 2, 3), variant="auto"
+                         ) -> Dict[str, Dict[str, Any]]:
+    """Reference DepthDecoder ``.pth`` -> Flax tree.
+
+    Handles both the fork layout (ModuleList ``decoder.N`` ordering per
+    `/root/reference/networks/depth_decoder.py:32-56`: 5 deconvs, then 10
+    upconvs, then dispconvs; BN was never checkpointed — defect §8.3, so BN
+    stays at init) and the upstream monodepth2 layout (10 upconvs then
+    dispconvs, no deconvs).
+    """
+    sd = _load_pth(path)
+    idx = sorted({int(re.match(r"decoder\.(\d+)\.", k).group(1))
+                  for k in sd if k.startswith("decoder.")})
+    n = len(idx)
+    n_disp = len(scales)
+    if variant == "auto":
+        variant = "fork" if n == 15 + n_disp - (15 + n_disp - n) and any(
+            sd[f"decoder.{i}.weight"].ndim == 4 and
+            sd[f"decoder.{i}.weight"].shape[2:] == (3, 3) and
+            sd[f"decoder.{i}.weight"].shape[0] == sd[f"decoder.{i}.weight"].shape[1]
+            for i in idx[:5]) and n == 15 + n_disp else "upstream"
+
+    params: Dict[str, Any] = {}
+
+    def conv3x3(i):
+        return {"conv3x3": {"conv": {
+            "kernel": _conv_w(sd[f"decoder.{i}.conv.conv.weight"]),
+            "bias": sd[f"decoder.{i}.conv.conv.bias"]}}}
+
+    if variant == "fork":
+        # order built at depth_decoder.py:30-56: deconv i=4..0, upconv (i,0)
+        # and (i,1) for i=4..0, dispconv per scale
+        for j, i in enumerate(range(4, -1, -1)):
+            params[f"deconv_{i}"] = {
+                "kernel": _deconv_w(sd[f"decoder.{j}.deconvlayer.weight"]),
+                "bias": sd[f"decoder.{j}.deconvlayer.bias"]}
+        base = 5
+        for j, i in enumerate(range(4, -1, -1)):
+            params[f"upconv_{i}_0"] = conv3x3(base + 2 * j)
+            params[f"upconv_{i}_1"] = conv3x3(base + 2 * j + 1)
+        base = 15
+    else:
+        for j, i in enumerate(range(4, -1, -1)):
+            params[f"upconv_{i}_0"] = conv3x3(2 * j)
+            params[f"upconv_{i}_1"] = conv3x3(2 * j + 1)
+        base = 10
+    for j, s in enumerate(sorted(scales)):
+        params[f"dispconv_{s}"] = {"conv3x3": {"conv": {
+            "kernel": _conv_w(sd[f"decoder.{base + j}.conv.weight"]),
+            "bias": sd[f"decoder.{base + j}.conv.bias"]}}}
+    return {"params": params, "batch_stats": {}, "variant": variant}
+
+
+def import_pose_decoder(path: str) -> Dict[str, Any]:
+    """Reference PoseDecoder ``.pth`` (pose_decoder.py:25-33) -> Flax tree."""
+    sd = _load_pth(path)
+    # ModuleList order: squeeze, pose0, pose1, pose2
+    names = ["squeeze", "pose_0", "pose_1", "pose_2"]
+    params = {}
+    for i, name in enumerate(names):
+        params[name] = {"kernel": _conv_w(sd[f"net.{i}.weight"]),
+                        "bias": sd[f"net.{i}.bias"]}
+    return {"params": params}
+
+
+def import_pose_cnn(path: str) -> Dict[str, Any]:
+    sd = _load_pth(path)
+    params = {}
+    for i in range(7):
+        params[f"conv_{i}"] = {"kernel": _conv_w(sd[f"net.{i}.weight"]),
+                               "bias": sd[f"net.{i}.bias"]}
+    params["pose_conv"] = {"kernel": _conv_w(sd["pose_conv.weight"]),
+                           "bias": sd["pose_conv.bias"]}
+    return {"params": params}
+
+
+def import_generator(path: str) -> Dict[str, Any]:
+    """Frozen CycleGAN generator ``.pth`` (GeneratorResNet.py:21-68,
+    sequential indices) -> Flax tree."""
+    sd = _load_pth(path)
+
+    def cw(i):
+        return {"kernel": _conv_w(sd[f"model.{i}.weight"]),
+                "bias": sd[f"model.{i}.bias"]}
+
+    params = {"initial": cw(1), "down_0": cw(4), "down_1": cw(7)}
+    # residual blocks at indices 10..10+n-1
+    res_keys = [k for k in sd if ".block.1.weight" in k]
+    n_res = len(res_keys)
+    for r in range(n_res):
+        base = 10 + r
+        params[f"res_{r}"] = {
+            "conv1": {"kernel": _conv_w(sd[f"model.{base}.block.1.weight"]),
+                      "bias": sd[f"model.{base}.block.1.bias"]},
+            "conv2": {"kernel": _conv_w(sd[f"model.{base}.block.5.weight"]),
+                      "bias": sd[f"model.{base}.block.5.bias"]},
+        }
+    up0 = 10 + n_res + 1
+    params["up_0"] = cw(up0)
+    params["up_1"] = cw(up0 + 3)
+    params["output"] = cw(up0 + 7)
+    return {"params": params}

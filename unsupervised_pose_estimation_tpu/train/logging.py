@@ -1,0 +1,125 @@
+"""Training observability: console throughput lines, JSONL metrics, optional
+Weights & Biases, and JAX profiler traces.
+
+Covers the reference's logging surface (SURVEY.md §5): `log_time` console
+lines (`/root/reference/trainer.py:718-728`), W&B scalar/image logging
+(`/root/reference/wandb_logging.py:16-197`, opt-in here and import-gated so
+the framework runs without the package), plus two upgrades the reference
+lacks: structured JSONL metrics and XProf profiler traces
+(`jax.profiler.start_trace`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def sec_to_hm_str(t: float) -> str:
+    """10239 -> '02h50m39s' (`/root/reference/utils.py:42-59`)."""
+    t = int(t)
+    s = t % 60
+    t //= 60
+    m = t % 60
+    t //= 60
+    return f"{t:02d}h{m:02d}m{s:02d}s"
+
+
+def normalize_image(x):
+    """Per-image min-max rescale for visualization
+    (`/root/reference/utils.py:33-39`)."""
+    x = np.asarray(x)
+    ma, mi = x.max(), x.min()
+    return (x - mi) / (ma - mi + 1e-5)
+
+
+class MetricLogger:
+    def __init__(self, log_dir: str, model_name: str, use_wandb: bool = False,
+                 jsonl: bool = True, config: Optional[dict] = None,
+                 total_steps: Optional[int] = None):
+        self.log_path = os.path.join(log_dir, model_name)
+        os.makedirs(self.log_path, exist_ok=True)
+        self.start_time = time.time()
+        self.total_steps = total_steps
+        self._jsonl = None
+        if jsonl:
+            self._jsonl = open(os.path.join(self.log_path, "metrics.jsonl"),
+                               "a", buffering=1)
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project="unsupervised_pose_estimation_tpu",
+                           config=config or {})
+            except Exception as e:  # pragma: no cover - optional dep
+                print(f"[logging] wandb unavailable ({e}); continuing")
+
+    def log_time(self, epoch: int, batch_idx: int, step: int,
+                 duration: float, batch_size: int, loss: float):
+        """Console line matching trainer.py:718-728."""
+        samples_per_sec = batch_size / max(duration, 1e-9)
+        elapsed = time.time() - self.start_time
+        if self.total_steps and step > 0:
+            left = (self.total_steps / step - 1.0) * elapsed
+        else:
+            left = 0
+        print(f"epoch {epoch:>3} | batch {batch_idx:>6} | "
+              f"examples/s: {samples_per_sec:5.1f} | loss: {loss:.5f} | "
+              f"time elapsed: {sec_to_hm_str(elapsed)} | "
+              f"time left: {sec_to_hm_str(left)}")
+
+    def log_scalars(self, mode: str, scalars: Dict[str, float], step: int,
+                    learning_rate: Optional[float] = None):
+        record = {"mode": mode, "step": step,
+                  "time": time.time() - self.start_time}
+        record.update({k: float(v) for k, v in scalars.items()})
+        if learning_rate is not None:
+            record["learning_rate"] = learning_rate
+        if self._jsonl:
+            self._jsonl.write(json.dumps(record) + "\n")
+        if self._wandb:
+            self._wandb.log({f"{mode}/{k}": v for k, v in record.items()
+                             if k not in ("mode",)}, step=step)
+
+    def log_images(self, mode: str, images: Dict[str, np.ndarray], step: int):
+        if self._wandb:
+            payload = {}
+            for name, img in images.items():
+                arr = normalize_image(img)
+                payload[f"{mode}/{name}"] = self._wandb.Image(arr)
+            self._wandb.log(payload, step=step)
+
+    def finish(self):
+        if self._jsonl:
+            self._jsonl.close()
+        if self._wandb:
+            self._wandb.finish()
+
+
+class Profiler:
+    """XProf trace capture around a step window (reference has none —
+    SURVEY.md §5 'Tracing/profiling: none')."""
+
+    def __init__(self, profile_dir: Optional[str], start_step: int = 10,
+                 num_steps: int = 5):
+        self.dir = profile_dir
+        self.start_step = start_step
+        self.stop_step = start_step + num_steps
+        self._active = False
+
+    def maybe_start(self, step: int):
+        if self.dir and not self._active and step == self.start_step:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+
+    def maybe_stop(self, step: int):
+        if self._active and step >= self.stop_step:
+            jax.profiler.stop_trace()
+            self._active = False
