@@ -24,9 +24,10 @@ import time
 import jax
 import numpy as np
 
-# PyTorch reference-equivalent training step, CPU, 640x192 batch 12
-# (scripts/measure_torch_baseline.py; see BASELINE.md "Measured" row).
-TORCH_CPU_BASELINE_FPS = 2.23
+# PyTorch reference-equivalent training step, CPU (1 thread), 640x192
+# batch 12: measured 0.285 frames/s (42.07 s/step) on this machine with
+# scripts/measure_torch_baseline.py; see BASELINE.md "Measured" row.
+TORCH_CPU_BASELINE_FPS = 0.285
 
 HEIGHT, WIDTH, BATCH = 192, 640, 12
 WARMUP, STEPS = 3, 10

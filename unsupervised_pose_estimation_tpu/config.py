@@ -140,6 +140,11 @@ class Options:
             assert self.disable_automasking, (
                 "When using predictive_mask, please disable automasking "
                 "with --disable_automasking")
+        if self.adversarial_prior:
+            # the discriminator's "real" samples come from the frozen
+            # generator prior (intent of trainer.py:93-106)
+            assert self.pre_trained_generator, (
+                "--adversarial_prior requires --pre_trained_generator")
         return self
 
     def to_json(self) -> str:

@@ -112,6 +112,11 @@ class Trainer:
 
         self.train_step = build_train_step(self.bundle)
         self.eval_step = build_eval_step(self.bundle)
+        self.disc_step = None
+        if cfg.adversarial_prior:
+            from .step import build_disc_step
+
+            self.disc_step = build_disc_step(self.bundle)
 
         self.logger = MetricLogger(
             cfg.log_dir, cfg.model_name, use_wandb=cfg.wandb,
@@ -203,6 +208,13 @@ class Trainer:
             self.profiler.maybe_start(self.step)
             self.rng, sub = jax.random.split(self.rng)
             self.state, losses = self.train_step(self.state, batch, sub)
+
+            if self.disc_step is not None:
+                # one discriminator update per batch (intent of
+                # trainer.py:315-316's second pass)
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, dlosses = self.disc_step(self.state, batch, sub)
+                losses = {**losses, **dlosses}
 
             if batch_idx % cfg.log_frequency == 0:
                 loss = float(losses["loss"])  # device sync only when logging
