@@ -1,5 +1,5 @@
 from .datasets import (  # noqa: F401
-    KITTIOdomDataset, KITTIRAWDataset, LungRAWDataset, SCAREDRAWDataset,
-    SyntheticDataset, make_dataset)
+    KITTIDepthDataset, KITTIOdomDataset, KITTIRAWDataset, LungRAWDataset,
+    SCAREDRAWDataset, SyntheticDataset, make_dataset)
 from .pipeline import Loader  # noqa: F401
 from .split import parse_split_line, readlines  # noqa: F401

@@ -215,6 +215,35 @@ class KITTIOdomDataset(KITTIRAWDataset):
         return False
 
 
+class KITTIDepthDataset(KITTIRAWDataset):
+    """KITTI with the improved annotated depth maps (png/256,
+    `kitti_dataset.py:104-134`)."""
+
+    def get_image_path(self, folder, frame_index, side):
+        f_str = f"{frame_index:010d}{self.img_ext}"
+        return os.path.join(self.data_path, folder,
+                            f"image_0{self.side_map[side]}/data", f_str)
+
+    def check_depth(self):
+        folder, frame_index, side = parse_split_line(self.filenames[0])
+        return os.path.isfile(self._depth_path(folder, frame_index, side))
+
+    def _depth_path(self, folder, frame_index, side):
+        return os.path.join(
+            self.data_path, folder, "proj_depth/groundtruth",
+            f"image_0{self.side_map[side]}", f"{frame_index:010d}.png")
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        import numpy as _np
+
+        depth_png = Image.open(self._depth_path(folder, frame_index, side))
+        depth_png = depth_png.resize(self.FULL_RES, Image.NEAREST)
+        depth = _np.asarray(depth_png, _np.float32) / 256.0
+        if do_flip:
+            depth = _np.fliplr(depth)
+        return depth
+
+
 class SyntheticDataset:
     """Procedural translating-texture sequences (no disk IO).
 
@@ -275,6 +304,7 @@ DATASETS = {
     "scared": SCAREDRAWDataset,
     "kitti": KITTIRAWDataset,
     "kitti_odom": KITTIOdomDataset,
+    "kitti_depth": KITTIDepthDataset,
     "synthetic": SyntheticDataset,
 }
 

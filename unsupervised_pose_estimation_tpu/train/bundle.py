@@ -52,8 +52,12 @@ class ModelBundle:
                                    num_frames_to_predict_for=2,
                                    compute_dtype=dt)
             elif cfg.pose_model_type == "shared":
-                pose = PoseDecoder(num_input_features=cfg.num_pose_frames,
-                                   compute_dtype=dt)
+                # reference: num_frames_to_predict_for defaults to
+                # num_input_features - 1 (pose_decoder.py:21-23)
+                pose = PoseDecoder(
+                    num_input_features=cfg.num_pose_frames,
+                    num_frames_to_predict_for=cfg.num_pose_frames - 1,
+                    compute_dtype=dt)
             elif cfg.pose_model_type == "posecnn":
                 n = (cfg.num_input_frames
                      if cfg.pose_model_input == "all" else 2)

@@ -53,6 +53,11 @@ class Trainer:
         cfg.validate()
         self.cfg = cfg
 
+        if cfg.debug_nans:
+            # moral equivalent of torch.autograd.set_detect_anomaly
+            # (commented out at trainer.py:287); SURVEY.md §5
+            jax.config.update("jax_debug_nans", True)
+
         print(f"learning rate {cfg.learning_rate} "
               f"sampling frequency : {cfg.sampling_frequency}")
 
@@ -111,7 +116,8 @@ class Trainer:
         self.num_total_steps = self.steps_per_epoch * cfg.num_epochs
 
         self.train_step = build_train_step(self.bundle)
-        self.eval_step = build_eval_step(self.bundle)
+        self.eval_step = build_eval_step(self.bundle,
+                                         with_images=cfg.log_images)
         self.disc_step = None
         if cfg.adversarial_prior:
             from .step import build_disc_step
@@ -232,6 +238,17 @@ class Trainer:
         """Single-minibatch validation (trainer.py:463-489)."""
         batch = next(self.val_iter)
         self.rng, sub = jax.random.split(self.rng)
-        losses, _ = self.eval_step(self.state, batch, sub)
+        losses, outputs = self.eval_step(self.state, batch, sub)
         self.logger.log_scalars(
             "val", {k: float(v) for k, v in losses.items()}, self.step)
+        if self.cfg.log_images:
+            # per-scale disparity / automask / warped-color grids, the
+            # wandb_logging.py:100-158 surface
+            images = {}
+            for s in self.cfg.scales:
+                images[f"disp/{s}"] = np.asarray(outputs["disp"][s][0, ..., 0])
+            for key, val in outputs.items():
+                if key.startswith(("automask/", "color_pred/")):
+                    arr = np.asarray(val[0])
+                    images[key] = arr
+            self.logger.log_images("val", images, self.step)
