@@ -60,18 +60,19 @@ def main():
     batch = jax.device_put(batch)
 
     step = build_train_step(bundle)
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(1)  # per-step keys derive on device from
+    # state.step (see train/step.py) - no host-side splits in the hot loop
     for i in range(WARMUP):
-        key, sub = jax.random.split(key)
-        state, losses = step(state, batch, sub)
-    jax.block_until_ready(losses["loss"])
+        state, losses = step(state, batch, key)
+    float(losses["loss"])  # value fetch: the only reliable device sync on
+    # the experimental axon backend (block_until_ready returns early there)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
-        key, sub = jax.random.split(key)
-        state, losses = step(state, batch, sub)
-    jax.block_until_ready(losses["loss"])
+        state, losses = step(state, batch, key)
+    final_loss = float(losses["loss"])  # sync: forces all STEPS to finish
     dt = time.perf_counter() - t0
+    assert final_loss == final_loss, "NaN loss in benchmark"
 
     fps = STEPS * BATCH / dt
     print(json.dumps({

@@ -40,8 +40,7 @@ def test_lung_dataset_item_contract(lung_tree):
     assert item["color"].shape == (3, 32, 32, 3)
     assert item["color_aug"].shape == (3, 32, 32, 3)
     assert item["K_norm"].shape == (4, 4)
-    assert item["color"].dtype == np.float32
-    assert 0.0 <= item["color"].min() and item["color"].max() <= 1.0
+    assert item["color"].dtype == np.uint8  # device converts to [0,1]
     # normalized K per lung_dataset.py:19-22
     np.testing.assert_allclose(item["K_norm"][0, 0], 0.635)
 
@@ -103,8 +102,9 @@ def test_synthetic_dataset_translates_texture():
     ds = SyntheticDataset(4, 32, 48, [0, -1, 1], shift=2)
     item = ds.get_item(0)
     c = item["color"]
+    assert c.dtype == np.uint8
     # frame +1 shifted by 2 px vs frame 0
-    np.testing.assert_allclose(c[0][:, 2:], c[2][:, :-2], atol=1e-6)
+    np.testing.assert_array_equal(c[0][:, 2:], c[2][:, :-2])
 
 
 def test_loader_batches_and_shards():

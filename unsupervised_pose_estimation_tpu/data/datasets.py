@@ -10,8 +10,9 @@ host->HBM transfer by the pyramid factor and removes per-item np.linalg.pinv
 calls (`mono_dataset2.py:167-177`).
 
 Item contract (frame axis ordered as cfg.frame_ids, then "s" if stereo):
-    color      (F, H, W, 3) float32 in [0, 1], geometric flip applied
-    color_aug  (F, H, W, 3) float32, same flip + photometric augmentation
+    color      (F, H, W, 3) uint8, geometric flip applied (converted to
+               float [0,1] on device — 4x less H2D traffic than float32)
+    color_aug  (F, H, W, 3) uint8, same flip + photometric augmentation
     K_norm     (4, 4) float32, resolution-normalized intrinsics
     stereo_T   (4, 4) float32, only when "s" in frame_ids
     depth_gt   (H0, W0) float32, only when the dataset has GT and
@@ -107,9 +108,10 @@ class MonoDataset:
             img = img.resize((self.width, self.height), _LANCZOS)
             if do_flip:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
-            colors.append(np.asarray(img, np.float32) / 255.0)
-            colors_aug.append(
-                np.asarray(apply_augment(img, aug), np.float32) / 255.0)
+            # ship uint8: 4x less host->HBM traffic; the train step
+            # converts to float on device (train/step.py _f32)
+            colors.append(np.asarray(img, np.uint8))
+            colors_aug.append(np.asarray(apply_augment(img, aug), np.uint8))
 
         item = {
             "color": np.stack(colors, 0),
@@ -295,6 +297,8 @@ class SyntheticDataset:
             off = margin + int(i) * self.shift * self.sampling_frequency
             colors.append(tex[:, off:off + self.width])
         color = np.stack(colors, 0)
+        color = (color * 255.0 + 0.5).astype(np.uint8)  # same uint8
+        # contract as the disk-backed datasets
         return {"color": color, "color_aug": color.copy(),
                 "K_norm": self.K_NORM.copy()}
 

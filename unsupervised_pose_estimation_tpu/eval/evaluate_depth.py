@@ -43,7 +43,10 @@ class _EvalFrames:
 
     def get_item(self, index, epoch=0):
         item = self.dataset.get_item(index, epoch)
-        return {"color": item["color"][0]}  # (H, W, 3)
+        color = item["color"][0]
+        if color.dtype == np.uint8:
+            color = color.astype(np.float32) / 255.0
+        return {"color": color}  # (H, W, 3) float32 [0,1]
 
 
 def load_eval_state(opt: Options):

@@ -50,8 +50,11 @@ def predict_pose_sequence(opt: Options, bundle: ModelBundle, state,
     buf = []
     for i in range(len(ds)):
         item = ds.get_item(i)
+        color = item["color"].astype(np.float32)
+        if item["color"].dtype == np.uint8:
+            color = color / 255.0
         # temporal order: [frame 1, frame 0] concat on channels
-        pair = np.concatenate([item["color"][1], item["color"][0]], axis=-1)
+        pair = np.concatenate([color[1], color[0]], axis=-1)
         buf.append(pair)
         if len(buf) == bs or i == len(ds) - 1:
             out = pose_fwd(state.params, state.batch_stats,

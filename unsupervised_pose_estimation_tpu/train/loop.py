@@ -212,8 +212,8 @@ class Trainer:
                 break
             t0 = time.time()
             self.profiler.maybe_start(self.step)
-            self.rng, sub = jax.random.split(self.rng)
-            self.state, losses = self.train_step(self.state, batch, sub)
+            # base key only; the compiled step folds in state.step on device
+            self.state, losses = self.train_step(self.state, batch, self.rng)
 
             if self.disc_step is not None:
                 # one discriminator update per batch (intent of

@@ -53,6 +53,14 @@ def _apply_bn_module(module, params, stats, *args, train: bool):
     return module.apply(variables, *args, train), stats
 
 
+def _f32(x):
+    """uint8 [0,255] or float -> float32 [0,1] (device-side; datasets ship
+    uint8 to quarter the H2D traffic)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * (1.0 / 255.0)
+    return x.astype(jnp.float32)
+
+
 def _grayscale(img):
     """ITU-R 601 luma, the semantics of torchvision Grayscale
     (trainer.py:131)."""
@@ -148,8 +156,14 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
 
     frame_ids = list(cfg.frame_ids) + (["s"] if cfg.use_stereo else [])
     f_index = {f: i for i, f in enumerate(frame_ids)}
-    color = {f: batch["color"][:, f_index[f]] for f in frame_ids}
-    aug = {f: batch["color_aug"][:, f_index[f]] for f in frame_ids}
+    # raw (possibly uint8) frames: the warp gathers straight from these —
+    # TPU gather cost tracks gathered bytes, so sampling 3-byte uint8 rows
+    # instead of 12-byte fp32 is ~4x cheaper; the normalize commutes with
+    # the (linear) bilinear lerp.
+    raw = {f: batch["color"][:, f_index[f]] for f in frame_ids}
+    color = {f: _f32(raw[f]) for f in frame_ids}
+    aug = {f: _f32(batch["color_aug"][:, f_index[f]]) for f in frame_ids}
+    raw_scale = (1.0 / 255.0 if batch["color"].dtype == jnp.uint8 else 1.0)
 
     # device-side pyramids: frame 0 always (smoothness target); all frames
     # when v1_multiscale warps at native pyramid scales. Levels must reach
@@ -268,15 +282,19 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
                     invert=(f_i < 0))
 
             pix_coords = G.project(cam_points, Ks[source_scale], T, sh, sw)
-            src = pyr[f_i][source_scale] if cfg.v1_multiscale else color[f_i]
-            warped = grid_sample(src, pix_coords)
+            if cfg.v1_multiscale:
+                warped = grid_sample(pyr[f_i][source_scale], pix_coords)
+            else:
+                warped = grid_sample(raw[f_i], pix_coords) * raw_scale
             if with_images:
                 outputs[f"color_pred/{f_i}/{s}"] = warped
             reprojs.append(
                 L.reprojection_loss(warped, target, use_ssim=not cfg.no_ssim))
             if not cfg.disable_automasking:
+                ident_src = (pyr[f_i][source_scale] if cfg.v1_multiscale
+                             else color[f_i])
                 identities.append(
-                    L.reprojection_loss(src, target,
+                    L.reprojection_loss(ident_src, target,
                                         use_ssim=not cfg.no_ssim))
 
         reproj = jnp.concatenate(reprojs, axis=-1)  # (B, H, W, S)
@@ -336,6 +354,14 @@ def build_train_step(bundle: ModelBundle, tx: Optional[
     tx = tx or make_optimizer(bundle.cfg.learning_rate)
 
     def step(state: TrainState, batch, rng):
+        # Derive the per-step key on device from the step counter, so the
+        # caller passes ONE base key every iteration: no host-side
+        # jax.random.split in the train loop (each split is an extra
+        # dispatch+transfer that measurably stalls the pipeline — ~2.5 ms/
+        # step on a v5e via the remote tunnel) and resume-determinism comes
+        # free from the checkpointed step.
+        rng = jax.random.fold_in(rng, state.step)
+
         def loss_fn(params):
             return forward_and_loss(bundle, params, state.batch_stats,
                                     state.frozen, batch, rng, train=True)
