@@ -105,6 +105,7 @@ class Options:
     profile_dir: Optional[str] = None  # write XProf traces here if set
     synthetic_data: bool = False  # fabricated frames (tests/benchmarks)
     debug_nans: bool = False  # jax debug_nans (sanitizer analogue, SURVEY §5)
+    use_pallas_loss: bool = False  # fused Pallas SSIM+L1 kernel (TPU only)
     log_images: bool = False  # log disp/automask/warp images at log steps
     steps_per_epoch: Optional[int] = None  # cap steps (smoke tests)
     wandb: bool = False  # opt-in W&B logging

@@ -16,15 +16,31 @@ _SSIM_C1 = 0.01 ** 2
 _SSIM_C2 = 0.03 ** 2
 
 
-def _avg_pool3(x):
-    """3x3/stride-1 VALID average pool over NHWC."""
-    out = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add,
-        window_dimensions=(1, 3, 3, 1),
-        window_strides=(1, 1, 1, 1),
-        padding="VALID",
-    )
-    return out / 9.0
+def _win3(x):
+    """3x3/stride-1 windowed SUM over the last two dims of (..., H, W),
+    expressed as 9 shifted adds (a separable 2-pass: rows then cols). On TPU
+    this keeps W on the lane dimension — reduce_window over NHWC with C=3
+    minor tiles catastrophically — and XLA fuses the shifted adds."""
+    rows = x[..., 0:-2, :] + x[..., 1:-1, :] + x[..., 2:, :]
+    return rows[..., 0:-2] + rows[..., 1:-1] + rows[..., 2:]
+
+
+def _ssim_planar(x, y):
+    """SSIM dissimilarity over channel-planar (N, C, H, W) inputs."""
+    pad = [(0, 0), (0, 0), (1, 1), (1, 1)]
+    x = jnp.pad(x, pad, mode="reflect")
+    y = jnp.pad(y, pad, mode="reflect")
+
+    ninth = 1.0 / 9.0
+    mu_x = _win3(x) * ninth
+    mu_y = _win3(y) * ninth
+    sigma_x = _win3(x * x) * ninth - mu_x * mu_x
+    sigma_y = _win3(y * y) * ninth - mu_y * mu_y
+    sigma_xy = _win3(x * y) * ninth - mu_x * mu_y
+
+    ssim_n = (2.0 * mu_x * mu_y + _SSIM_C1) * (2.0 * sigma_xy + _SSIM_C2)
+    ssim_d = (mu_x * mu_x + mu_y * mu_y + _SSIM_C1) * (sigma_x + sigma_y + _SSIM_C2)
+    return jnp.clip((1.0 - ssim_n / ssim_d) * 0.5, 0.0, 1.0)
 
 
 def ssim(x, y):
@@ -32,21 +48,11 @@ def ssim(x, y):
 
     Matches the reference's 3x3 avg-pool SSIM with reflection padding
     (`/root/reference/layers.py:302-332`). Inputs/outputs are NHWC with the
-    same spatial shape.
+    same spatial shape; internally computed channel-planar (N, C, H, W) so
+    the windowed sums run along well-tiled lanes.
     """
-    pad = [(0, 0), (1, 1), (1, 1), (0, 0)]
-    x = jnp.pad(x, pad, mode="reflect")
-    y = jnp.pad(y, pad, mode="reflect")
-
-    mu_x = _avg_pool3(x)
-    mu_y = _avg_pool3(y)
-    sigma_x = _avg_pool3(x * x) - mu_x * mu_x
-    sigma_y = _avg_pool3(y * y) - mu_y * mu_y
-    sigma_xy = _avg_pool3(x * y) - mu_x * mu_y
-
-    ssim_n = (2.0 * mu_x * mu_y + _SSIM_C1) * (2.0 * sigma_xy + _SSIM_C2)
-    ssim_d = (mu_x * mu_x + mu_y * mu_y + _SSIM_C1) * (sigma_x + sigma_y + _SSIM_C2)
-    return jnp.clip((1.0 - ssim_n / ssim_d) * 0.5, 0.0, 1.0)
+    out = _ssim_planar(jnp.moveaxis(x, -1, 1), jnp.moveaxis(y, -1, 1))
+    return jnp.moveaxis(out, 1, -1)
 
 
 def reprojection_loss(pred, target, use_ssim: bool = True):
@@ -54,13 +60,16 @@ def reprojection_loss(pred, target, use_ssim: bool = True):
 
     0.85 * SSIM + 0.15 * L1 (channel-meaned), matching
     `/root/reference/trainer.py:543-555`; pure L1 when `use_ssim` is False
-    (the reference's --no_ssim ablation).
+    (the reference's --no_ssim ablation). The whole pipeline runs
+    channel-planar and reduces over C before returning to NHWC.
     """
-    l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
+    p = jnp.moveaxis(pred, -1, 1)  # (N, C, H, W)
+    t = jnp.moveaxis(target, -1, 1)
+    l1 = jnp.mean(jnp.abs(t - p), axis=1)  # (N, H, W)
     if not use_ssim:
-        return l1
-    ssim_term = jnp.mean(ssim(pred, target), axis=-1, keepdims=True)
-    return 0.85 * ssim_term + 0.15 * l1
+        return l1[..., None]
+    ssim_term = jnp.mean(_ssim_planar(p, t), axis=1)
+    return (0.85 * ssim_term + 0.15 * l1)[..., None]
 
 
 def smooth_loss(disp, img):

@@ -1,0 +1,8 @@
+"""Pallas TPU kernels for the view-synthesis hot path.
+
+Kernels are opt-in (Options.use_pallas_loss) and fall back to the pure-jnp
+ops on platforms without Mosaic support; every kernel has an interpret-mode
+test asserting bit-level agreement with the jnp reference implementation.
+"""
+
+from .reproj_loss import reprojection_loss_pallas  # noqa: F401

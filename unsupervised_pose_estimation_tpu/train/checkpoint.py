@@ -168,16 +168,11 @@ def import_depth_decoder(path: str, scales=(0, 1, 2, 3), variant="auto"
     dispconvs, no deconvs).
     """
     sd = _load_pth(path)
-    idx = sorted({int(re.match(r"decoder\.(\d+)\.", k).group(1))
-                  for k in sd if k.startswith("decoder.")})
-    n = len(idx)
-    n_disp = len(scales)
     if variant == "auto":
-        variant = "fork" if n == 15 + n_disp - (15 + n_disp - n) and any(
-            sd[f"decoder.{i}.weight"].ndim == 4 and
-            sd[f"decoder.{i}.weight"].shape[2:] == (3, 3) and
-            sd[f"decoder.{i}.weight"].shape[0] == sd[f"decoder.{i}.weight"].shape[1]
-            for i in idx[:5]) and n == 15 + n_disp else "upstream"
+        # fork decoders start their ModuleList with bare ConvTranspose2d
+        # entries (key `decoder.0.weight`, depth_decoder.py:33); upstream
+        # starts with a ConvBlock (`decoder.0.conv.conv.weight`).
+        variant = "fork" if "decoder.0.weight" in sd else "upstream"
 
     params: Dict[str, Any] = {}
 
@@ -187,12 +182,13 @@ def import_depth_decoder(path: str, scales=(0, 1, 2, 3), variant="auto"
             "bias": sd[f"decoder.{i}.conv.conv.bias"]}}}
 
     if variant == "fork":
-        # order built at depth_decoder.py:30-56: deconv i=4..0, upconv (i,0)
-        # and (i,1) for i=4..0, dispconv per scale
+        # order built at depth_decoder.py:30-56: deconv i=4..0 (bare
+        # ConvTranspose2d modules), upconv (i,0) and (i,1) for i=4..0,
+        # dispconv per scale
         for j, i in enumerate(range(4, -1, -1)):
             params[f"deconv_{i}"] = {
-                "kernel": _deconv_w(sd[f"decoder.{j}.deconvlayer.weight"]),
-                "bias": sd[f"decoder.{j}.deconvlayer.bias"]}
+                "kernel": _deconv_w(sd[f"decoder.{j}.weight"]),
+                "bias": sd[f"decoder.{j}.bias"]}
         base = 5
         for j, i in enumerate(range(4, -1, -1)):
             params[f"upconv_{i}_0"] = conv3x3(base + 2 * j)
@@ -204,9 +200,10 @@ def import_depth_decoder(path: str, scales=(0, 1, 2, 3), variant="auto"
             params[f"upconv_{i}_1"] = conv3x3(2 * j + 1)
         base = 10
     for j, s in enumerate(sorted(scales)):
-        params[f"dispconv_{s}"] = {"conv3x3": {"conv": {
+        # dispconvs are bare Conv3x3 modules (path dispconv_s/conv)
+        params[f"dispconv_{s}"] = {"conv": {
             "kernel": _conv_w(sd[f"decoder.{base + j}.conv.weight"]),
-            "bias": sd[f"decoder.{base + j}.conv.bias"]}}}
+            "bias": sd[f"decoder.{base + j}.conv.bias"]}}
     return {"params": params, "batch_stats": {}, "variant": variant}
 
 
@@ -254,8 +251,11 @@ def import_generator(path: str) -> Dict[str, Any]:
             "conv2": {"kernel": _conv_w(sd[f"model.{base}.block.5.weight"]),
                       "bias": sd[f"model.{base}.block.5.bias"]},
         }
-    up0 = 10 + n_res + 1
-    params["up_0"] = cw(up0)
-    params["up_1"] = cw(up0 + 3)
-    params["output"] = cw(up0 + 7)
+    # after the res blocks (base = 10 + n_res) the Sequential continues:
+    # Upsample, Conv, IN, ReLU, Upsample, Conv, IN, ReLU, ReflectionPad,
+    # Conv, Tanh (GeneratorResNet.py:50-63)
+    base = 10 + n_res
+    params["up_0"] = cw(base + 1)
+    params["up_1"] = cw(base + 5)
+    params["output"] = cw(base + 9)
     return {"params": params}

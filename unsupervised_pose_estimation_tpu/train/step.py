@@ -245,6 +245,14 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
         _, gan_fake_disp = G.depth_to_disp(fake)  # trainer.py:571
 
     # --- view synthesis + losses (trainer.py:491-686) ----------------------
+    if cfg.use_pallas_loss and not cfg.no_ssim:
+        from ..ops.pallas import reprojection_loss_pallas
+
+        def reproj_fn(pred, tgt, use_ssim=True):
+            return reprojection_loss_pallas(pred, tgt)
+    else:
+        reproj_fn = L.reprojection_loss
+
     source_frames = frame_ids[1:]
     losses: Dict[str, jnp.ndarray] = {}
     outputs: Dict[str, Any] = {"disp": disps}
@@ -289,13 +297,13 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
             if with_images:
                 outputs[f"color_pred/{f_i}/{s}"] = warped
             reprojs.append(
-                L.reprojection_loss(warped, target, use_ssim=not cfg.no_ssim))
+                reproj_fn(warped, target, use_ssim=not cfg.no_ssim))
             if not cfg.disable_automasking:
                 ident_src = (pyr[f_i][source_scale] if cfg.v1_multiscale
                              else color[f_i])
                 identities.append(
-                    L.reprojection_loss(ident_src, target,
-                                        use_ssim=not cfg.no_ssim))
+                    reproj_fn(ident_src, target,
+                              use_ssim=not cfg.no_ssim))
 
         reproj = jnp.concatenate(reprojs, axis=-1)  # (B, H, W, S)
 
