@@ -134,6 +134,17 @@ class MonoDataset:
         return item
 
 
+def _read_scene_points_tiff(path: str) -> np.ndarray:
+    """SCARED-style scene_points TIFF -> depth plane (channel 0, top 1024
+    rows), the reader of `/root/reference/datasets/lung_dataset.py:78-93` /
+    `scared_dataset.py:75-90` (PIL instead of cv2)."""
+    img = Image.open(path)
+    arr = np.asarray(img, np.float32)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    return arr[:1024, :]
+
+
 class LungRAWDataset(MonoDataset):
     """Colonoscopy/phantom frames `<data_path>/<folder>/<10-digit>.png`
     (`/root/reference/datasets/lung_dataset.py:13-93`; its `return False`
@@ -147,6 +158,25 @@ class LungRAWDataset(MonoDataset):
     def get_image_path(self, folder, frame_index, side):
         return os.path.join(self.data_path, folder,
                             f"{frame_index:010d}{self.img_ext}")
+
+    def _depth_path(self, folder, frame_index, side):
+        # lung_dataset.py:79-84: scene_points TIFF under image_0{2,3}
+        f_str = f"scene_points{frame_index - 1:06d}.tiff"
+        return os.path.join(self.data_path, folder,
+                            f"image_0{self.side_map[side]}/data/groundtruth",
+                            f_str)
+
+    def check_depth(self):
+        folder, frame_index, side = parse_split_line(self.filenames[0])
+        return side is not None and os.path.isfile(
+            self._depth_path(folder, frame_index, side))
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        depth = _read_scene_points_tiff(
+            self._depth_path(folder, frame_index, side))
+        if do_flip:
+            depth = np.fliplr(depth)
+        return depth
 
 
 class SCAREDRAWDataset(MonoDataset):
@@ -167,6 +197,25 @@ class SCAREDRAWDataset(MonoDataset):
     def load_frame(self, folder, frame_index, side):
         img = pil_loader(self.get_image_path(folder, frame_index, side))
         return img.crop((0, 0, img.size[0], img.size[1] - 64))
+
+    def _depth_path(self, folder, frame_index, side):
+        # scared_dataset.py:76-81
+        f_str = f"scene_points{frame_index - 1:06d}.tiff"
+        return os.path.join(self.data_path, folder,
+                            f"image_0{self.side_map[side]}/data/groundtruth",
+                            f_str)
+
+    def check_depth(self):
+        folder, frame_index, side = parse_split_line(self.filenames[0])
+        return side is not None and os.path.isfile(
+            self._depth_path(folder, frame_index, side))
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        depth = _read_scene_points_tiff(
+            self._depth_path(folder, frame_index, side))
+        if do_flip:
+            depth = np.fliplr(depth)
+        return depth
 
 
 class KITTIRAWDataset(MonoDataset):

@@ -126,7 +126,14 @@ def evaluate(opt: Options, gt_depths: Optional[np.ndarray] = None):
         bundle, state = load_eval_state(opt)
         pred_disps = predict_disparities(opt, bundle, state, files)
     else:
+        print(f"-> Loading predictions from {opt.ext_disp_to_eval}")
         pred_disps = np.load(opt.ext_disp_to_eval)
+        if opt.eval_eigen_to_benchmark:
+            # remap eigen-ordered results onto the benchmark split
+            # (evaluate_depth.py:133-138)
+            ids = np.load(os.path.join(splits_dir, "benchmark",
+                                       "eigen_to_benchmark_ids.npy"))
+            pred_disps = pred_disps[ids]
 
     if opt.save_pred_disps:
         out = os.path.join(opt.load_weights_folder or ".",
@@ -136,6 +143,26 @@ def evaluate(opt: Options, gt_depths: Optional[np.ndarray] = None):
 
     if opt.no_eval:
         print("-> Evaluation disabled. Done.")
+        return None
+
+    if opt.eval_split == "benchmark":
+        # KITTI online-benchmark submission pngs (evaluate_depth.py:149-163):
+        # uint16 depth*256 at 1216x352, no local GT to score against.
+        save_dir = os.path.join(opt.load_weights_folder or ".",
+                                "benchmark_predictions")
+        print(f"-> Saving out benchmark predictions to {save_dir}")
+        os.makedirs(save_dir, exist_ok=True)
+        from PIL import Image
+
+        for idx in range(len(pred_disps)):
+            disp_resized = _resize_bilinear_np(pred_disps[idx], 352, 1216)
+            depth = STEREO_SCALE_FACTOR / np.maximum(disp_resized, 1e-9)
+            depth = np.clip(depth, 0, 80)
+            depth16 = (depth * 256).astype(np.uint16)
+            Image.fromarray(depth16, mode="I;16").save(
+                os.path.join(save_dir, f"{idx:010d}.png"))
+        print("-> No ground truth is available for the KITTI benchmark, "
+              "so not evaluating. Done.")
         return None
 
     if gt_depths is None:
