@@ -28,6 +28,7 @@ class Options:
     generator_weights: Optional[str] = None  # .pth or orbax dir for the prior
     model_name: str = "mdp"
     split: str = "endovis"
+    split_dir: Optional[str] = None  # override the repo splits/ root
     num_layers: int = 18
     dataset: str = "endovis"
     png: bool = False

@@ -29,9 +29,11 @@ def make_mesh(data: int = -1, fsdp: int = 1,
     n = len(devices)
     if data == -1:
         data = n // fsdp
-    if data * fsdp != n:
-        raise ValueError(f"mesh {data}x{fsdp} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, fsdp)
+    if data * fsdp > n:
+        raise ValueError(f"mesh {data}x{fsdp} needs more than {n} devices")
+    # an explicit smaller mesh uses a device subset (e.g. --mesh_data 1 to
+    # debug single-device on a multi-chip host)
+    dev_array = np.asarray(devices[: data * fsdp]).reshape(data, fsdp)
     return Mesh(dev_array, axis_names=("data", "fsdp"))
 
 

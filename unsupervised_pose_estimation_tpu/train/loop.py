@@ -28,11 +28,13 @@ from .state import create_train_state
 from .step import build_eval_step, build_train_step
 
 
-def _split_path(split: str, mode: str) -> str:
+def _split_path(split: str, mode: str, split_dir: Optional[str] = None
+                ) -> str:
     # trainer.py:204 hardcodes the "{}_files_phantom.txt" pattern for
     # endovis; fall back to plain "{}_files.txt" when absent (defect §8.5
     # intent-fixed: both patterns are searched).
-    here = os.path.join(os.path.dirname(__file__), "..", "..", "splits")
+    here = split_dir or os.path.join(os.path.dirname(__file__), "..", "..",
+                                     "splits")
     for pattern in (f"{mode}_files_phantom.txt", f"{mode}_files.txt"):
         path = os.path.join(here, split, pattern)
         if os.path.isfile(path):
@@ -65,6 +67,12 @@ class Trainer:
         os.makedirs(self.log_path, exist_ok=True)
 
         self.mesh = make_mesh(cfg.mesh_data, cfg.mesh_fsdp)
+        n_dev = self.mesh.size
+        if cfg.batch_size % n_dev != 0:
+            raise ValueError(
+                f"batch_size ({cfg.batch_size}) must be divisible by the "
+                f"mesh size ({n_dev} devices = mesh_data x mesh_fsdp); set "
+                f"--batch_size or shrink the mesh with --mesh_data")
         self.batch_sharding = batch_sharding(self.mesh)
 
         self.bundle = ModelBundle.create(cfg)
@@ -88,8 +96,10 @@ class Trainer:
         else:
             # exclude boundary frames per sampling stride (trainer.py:208-209)
             sf = cfg.sampling_frequency
-            train_files = readlines(_split_path(cfg.split, "train"))[sf:-sf]
-            val_files = readlines(_split_path(cfg.split, "val"))[sf:-sf]
+            train_files = readlines(
+                _split_path(cfg.split, "train", cfg.split_dir))[sf:-sf]
+            val_files = readlines(
+                _split_path(cfg.split, "val", cfg.split_dir))[sf:-sf]
             common = dict(height=cfg.height, width=cfg.width,
                           frame_idxs=frame_ids, img_ext=".png",
                           sampling_frequency=sf, seed=cfg.seed)

@@ -376,6 +376,9 @@ def build_train_step(bundle: ModelBundle, tx: Optional[
 
         grads, (losses, _, new_stats) = jax.grad(
             loss_fn, has_aux=True)(state.params)
+        # gradient observability (the wandb.watch analogue,
+        # wandb_logging.py:48-52) — free inside the compiled step
+        losses["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
