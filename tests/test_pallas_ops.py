@@ -36,3 +36,55 @@ def test_reproj_loss_kernel_gradients(rng_np):
                                           jnp.asarray(target))
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_banded_warp_kernel_matches_reference(rng_np):
+    """grid_sample_fast (interpret mode): fast path, fallback path, and
+    coordinate gradients must match ops.warp.grid_sample exactly."""
+    from unsupervised_pose_estimation_tpu.ops.pallas.warp_kernel import \
+        grid_sample_fast
+    from unsupervised_pose_estimation_tpu.ops.warp import grid_sample
+
+    B, H, W, C = 2, 64, 128, 3
+    img = rng_np.uniform(size=(B, H, W, C)).astype(np.float32)
+    xs, ys = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H),
+                         indexing="xy")
+    base = np.stack([xs, ys], -1)[None].repeat(B, 0).astype(np.float32)
+
+    # small displacement -> banded fast path
+    small = jnp.asarray(base + rng_np.uniform(
+        -0.02, 0.02, size=base.shape).astype(np.float32))
+    ref = grid_sample(jnp.asarray(img), small)
+    fast = grid_sample_fast(jnp.asarray(img), small, interpret=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
+
+    # wild grid -> exact XLA fallback branch
+    wild = jnp.asarray(rng_np.uniform(
+        -1.5, 1.5, size=base.shape).astype(np.float32))
+    ref2 = grid_sample(jnp.asarray(img), wild)
+    fast2 = grid_sample_fast(jnp.asarray(img), wild, interpret=True)
+    np.testing.assert_allclose(np.asarray(fast2), np.asarray(ref2),
+                               atol=1e-6)
+
+    # coordinate gradients identical (image gradients are intentionally
+    # absent from grid_sample_fast)
+    ga = jax.grad(lambda g: jnp.sum(grid_sample(jnp.asarray(img), g) ** 2))(
+        small)
+    gb = jax.grad(lambda g: jnp.sum(
+        grid_sample_fast(jnp.asarray(img), g, interpret=True) ** 2))(small)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=1e-5)
+
+
+def test_banded_warp_kernel_uint8(rng_np):
+    from unsupervised_pose_estimation_tpu.ops.pallas.warp_kernel import \
+        grid_sample_fast
+    from unsupervised_pose_estimation_tpu.ops.warp import grid_sample
+
+    B, H, W, C = 1, 48, 128, 3
+    img8 = rng_np.integers(0, 255, size=(B, H, W, C)).astype(np.uint8)
+    xs, ys = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H),
+                         indexing="xy")
+    grid = jnp.asarray(np.stack([xs, ys], -1)[None].astype(np.float32))
+    fast = grid_sample_fast(jnp.asarray(img8), grid, interpret=True)
+    ref = grid_sample(jnp.asarray(img8), grid) / 255.0
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)

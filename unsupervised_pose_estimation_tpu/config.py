@@ -107,6 +107,8 @@ class Options:
     synthetic_data: bool = False  # fabricated frames (tests/benchmarks)
     debug_nans: bool = False  # jax debug_nans (sanitizer analogue, SURVEY §5)
     use_pallas_loss: bool = False  # fused Pallas SSIM+L1 kernel (TPU only)
+    use_pallas_warp: bool = True   # banded Pallas warp kernel on TPU when
+    # shapes allow (W%128==0, H%8==0, H>=40); exact XLA fallback otherwise
     log_images: bool = False  # log disp/automask/warp images at log steps
     steps_per_epoch: Optional[int] = None  # cap steps (smoke tests)
     wandb: bool = False  # opt-in W&B logging
