@@ -252,6 +252,7 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
     def warp_fn(src, coords):
         sh_, sw_ = coords.shape[1], coords.shape[2]
         if (cfg.use_pallas_warp and jax.default_backend() != "cpu"
+                and jax.device_count() == 1  # shard_map integration: round 2
                 and sw_ % 128 == 0 and sh_ % 8 == 0 and sh_ >= 40
                 and src.shape[1] == sh_ and src.shape[2] == sw_):
             from ..ops.pallas.warp_kernel import grid_sample_fast
