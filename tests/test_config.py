@@ -63,3 +63,15 @@ def test_json_roundtrip():
 def test_eval_options_alias_exists():
     # the reference ships with options_eval missing (SURVEY.md §8.2)
     assert MonodepthEvalOptions is Options
+
+
+def test_presets():
+    o = parse_options(["--preset", "kitti_upstream"])
+    # options_1.py:52-98 upstream defaults
+    assert (o.height, o.width) == (192, 640)
+    assert o.max_depth == 100.0
+    assert o.batch_size == 12 and o.num_epochs == 20
+    assert o.dataset == "kitti" and o.split == "eigen_zhou"
+    # explicit flags override the preset
+    o2 = parse_options(["--preset", "kitti_upstream", "--batch_size", "4"])
+    assert o2.batch_size == 4 and o2.width == 640

