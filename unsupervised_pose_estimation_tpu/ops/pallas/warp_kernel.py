@@ -69,42 +69,52 @@ def _corner_kernel(h: int, w: int, src_ref, x0_ref, yl_ref, ymin_ref,
             gmin = jnp.min(g0)
             gmax = jnp.max(g1)
 
-            out00 = jnp.zeros((RB, LANE), jnp.float32)
-            out01 = jnp.zeros((RB, LANE), jnp.float32)
-            out10 = jnp.zeros((RB, LANE), jnp.float32)
-            out11 = jnp.zeros((RB, LANE), jnp.float32)
-
-            for i in range(RB):  # output rows within the block (static)
-                w0 = jnp.broadcast_to(x0c[i:i + 1] % LANE, (BAND_H, LANE))
-                w1 = jnp.broadcast_to(x1c[i:i + 1] % LANE, (BAND_H, LANE))
-                b0 = jnp.zeros((BAND_H, LANE), jnp.float32)
-                b1 = jnp.zeros((BAND_H, LANE), jnp.float32)
-                for g in range(n_groups):  # source column groups
-                    # typical warps touch <= 2 groups; skip the rest at
-                    # runtime (scf.if, not masking)
-                    def visit(b0=b0, b1=b1, g=g, w0=w0, w1=w1, i=i):
-                        grp = band[:, g * LANE:(g + 1) * LANE]
+            # per-output-row band samples at both x-taps, accumulated over
+            # the <=2 source column groups a typical warp touches; the
+            # group guard (scf.if) is hoisted OUT of the row loop — conds
+            # are expensive in Mosaic
+            b0s = [jnp.zeros((BAND_H, LANE), jnp.float32)
+                   for _ in range(RB)]
+            b1s = [jnp.zeros((BAND_H, LANE), jnp.float32)
+                   for _ in range(RB)]
+            for g in range(n_groups):  # source column groups
+                def visit(ops, g=g):
+                    b0s_, b1s_ = ops[:RB], ops[RB:]
+                    grp = band[:, g * LANE:(g + 1) * LANE]
+                    new0, new1 = [], []
+                    for i in range(RB):
+                        w0 = jnp.broadcast_to(x0c[i:i + 1] % LANE,
+                                              (BAND_H, LANE))
+                        w1 = jnp.broadcast_to(x1c[i:i + 1] % LANE,
+                                              (BAND_H, LANE))
                         part0 = jnp.take_along_axis(grp, w0, axis=1)
                         part1 = jnp.take_along_axis(grp, w1, axis=1)
                         sel0 = jnp.broadcast_to(g0[i:i + 1] == g,
                                                 (BAND_H, LANE))
                         sel1 = jnp.broadcast_to(g1[i:i + 1] == g,
                                                 (BAND_H, LANE))
-                        return (jnp.where(sel0, part0, b0),
-                                jnp.where(sel1, part1, b1))
+                        new0.append(jnp.where(sel0, part0, b0s_[i]))
+                        new1.append(jnp.where(sel1, part1, b1s_[i]))
+                    return tuple(new0 + new1)
 
-                    b0, b1 = jax.lax.cond(
-                        jnp.logical_and(g >= gmin, g <= gmax),
-                        visit, lambda b0=b0, b1=b1: (b0, b1))
+                carry = jax.lax.cond(
+                    jnp.logical_and(g >= gmin, g <= gmax), visit,
+                    lambda ops: ops, tuple(b0s + b1s))
+                b0s, b1s = list(carry[:RB]), list(carry[RB:])
 
+            out00 = jnp.zeros((RB, LANE), jnp.float32)
+            out01 = jnp.zeros((RB, LANE), jnp.float32)
+            out10 = jnp.zeros((RB, LANE), jnp.float32)
+            out11 = jnp.zeros((RB, LANE), jnp.float32)
+            sel_rows = jax.lax.broadcasted_iota(jnp.int32, (RB, LANE), 0)
+            for i in range(RB):
                 m0 = (rows_iota == ylc[i:i + 1]).astype(jnp.float32)
                 m1 = (rows_iota == ylc[i:i + 1] + 1).astype(jnp.float32)
-                row00 = jnp.sum(m0 * b0, axis=0, keepdims=True)
-                row01 = jnp.sum(m0 * b1, axis=0, keepdims=True)
-                row10 = jnp.sum(m1 * b0, axis=0, keepdims=True)
-                row11 = jnp.sum(m1 * b1, axis=0, keepdims=True)
-                sel_row = jax.lax.broadcasted_iota(
-                    jnp.int32, (RB, LANE), 0) == i
+                row00 = jnp.sum(m0 * b0s[i], axis=0, keepdims=True)
+                row01 = jnp.sum(m0 * b1s[i], axis=0, keepdims=True)
+                row10 = jnp.sum(m1 * b0s[i], axis=0, keepdims=True)
+                row11 = jnp.sum(m1 * b1s[i], axis=0, keepdims=True)
+                sel_row = sel_rows == i
                 out00 = jnp.where(sel_row, row00, out00)
                 out01 = jnp.where(sel_row, row01, out01)
                 out10 = jnp.where(sel_row, row10, out10)
