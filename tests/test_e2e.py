@@ -16,9 +16,16 @@ def lung_tree_with_splits(tmp_path):
     folder = data / "seqA"
     folder.mkdir(parents=True)
     rng = np.random.default_rng(0)
+    gt_dir = folder / "image_02" / "data" / "groundtruth"
+    gt_dir.mkdir(parents=True)
     for idx in range(40):
         arr = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
         Image.fromarray(arr).save(folder / f"{idx:010d}.png")
+        # scene_points GT TIFF (lung_dataset.py:78-93 layout); tall enough
+        # for the garg crop rows 153:371 used by the train-time GT monitor
+        gt = rng.uniform(1.0, 10.0, size=(256, 64)).astype(np.float32)
+        Image.fromarray(gt, mode="F").save(
+            gt_dir / f"scene_points{idx:06d}.tiff")
     splits = tmp_path / "splits" / "endovis"
     splits.mkdir(parents=True)
     lines = [f"seqA {i} l" for i in range(2, 38)]
@@ -37,13 +44,22 @@ def test_trainer_end_to_end_on_disk_dataset(lung_tree_with_splits):
                   dataset="endovis", split="endovis", height=32, width=32,
                   batch_size=4, num_epochs=1, steps_per_epoch=2,
                   compute_dtype="float32", log_frequency=1, num_workers=2,
-                  sampling_frequency=2, log_jsonl=True, mesh_data=1)
+                  sampling_frequency=2, log_jsonl=True, mesh_data=1,
+                  weights_init="scratch")
     trainer = Trainer(cfg)
     state = trainer.train()
     assert int(state.step) == 2
     # artifacts: opt.json, metrics.jsonl, orbax checkpoint
     assert os.path.isfile(os.path.join(log_dir, "mdp", "models", "opt.json"))
     assert os.path.isfile(os.path.join(log_dir, "mdp", "metrics.jsonl"))
+    # val records carry the GT depth monitor (compute_depth_losses analogue,
+    # ref trainer.py:688-716) fed by the scene_points TIFFs
+    import json
+    with open(os.path.join(log_dir, "mdp", "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    val_records = [r for r in records if r["mode"] == "val"]
+    assert val_records and all("de/abs_rel" in r and "da/a1" in r
+                               for r in val_records)
     ckpts = os.path.join(log_dir, "mdp", "models", "orbax")
     from unsupervised_pose_estimation_tpu.train.checkpoint import latest_step
     assert latest_step(ckpts) == 2

@@ -38,6 +38,34 @@ def test_depth_errors_perfect_prediction():
     np.testing.assert_allclose(m[4:], 1.0)
 
 
+def test_train_time_depth_metrics():
+    """compute_depth_losses analogue (ref trainer.py:688-716): garg crop,
+    gt>0 mask, median scaling, full 7-metric row."""
+    from unsupervised_pose_estimation_tpu.eval.metrics import (
+        TRAIN_DEPTH_METRIC_NAMES, train_time_depth_metrics)
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:375, 0:1242].astype(np.float64)
+    smooth = 5.0 + 10.0 * yy / 375 + 5.0 * xx / 1242
+    gt = np.stack([smooth, smooth * 1.1])
+    gt[:, ::3] = 0.0  # sparse GT (velodyne-style)
+    # prediction: half resolution, 2x global scale -> median scaling cancels
+    # the factor; the smooth field keeps the resize error tiny
+    pred = np.stack([smooth[::2, ::2], smooth[::2, ::2] * 1.1]) * 2.0
+    m = train_time_depth_metrics(pred, gt)
+    assert set(m) == set(TRAIN_DEPTH_METRIC_NAMES)
+    assert m["de/abs_rel"] < 0.01
+    assert m["da/a1"] > 0.99
+
+    # perfect, dense, constant-scale prediction -> exact zeros
+    gt2 = rng.uniform(5, 20, size=(1, 375, 1242))
+    m2 = train_time_depth_metrics(gt2 * 3.0, gt2)
+    assert m2["de/abs_rel"] < 1e-6 and m2["da/a1"] == 1.0
+
+    # empty mask (all-zero GT) -> no metrics
+    assert train_time_depth_metrics(gt2, np.zeros_like(gt2)) == {}
+
+
 def test_post_process_symmetric(rng_np):
     d = rng_np.uniform(0.01, 1, size=(2, 20, 30)).astype(np.float32)
     out = batch_post_process_disparity(d, d)

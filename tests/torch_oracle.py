@@ -130,18 +130,24 @@ class RefDepthDecoder(nn.Module):
 
 
 class RefPoseDecoder(nn.Module):
-    def __init__(self, num_frames=2):
+    """Reference PoseDecoder layout: ONE squeeze conv shared across every
+    input feature stack (networks/pose_decoder.py:26,38); pose_0 consumes the
+    num_input_features*256-channel concat."""
+
+    def __init__(self, num_frames=2, num_input_features=1):
         super().__init__()
         self.num_frames = num_frames
         self.net = nn.ModuleList([
             nn.Conv2d(512, 256, 1),
-            nn.Conv2d(256, 256, 3, 1, 1),
+            nn.Conv2d(num_input_features * 256, 256, 3, 1, 1),
             nn.Conv2d(256, 256, 3, 1, 1),
             nn.Conv2d(256, 6 * num_frames, 1),
         ])
 
-    def forward(self, feat):
-        x = F.relu(self.net[0](feat))
+    def forward(self, feats):
+        if torch.is_tensor(feats):
+            feats = [feats]
+        x = torch.cat([F.relu(self.net[0](f)) for f in feats], 1)
         x = F.relu(self.net[1](x))
         x = F.relu(self.net[2](x))
         x = self.net[3](x).mean(3).mean(2)

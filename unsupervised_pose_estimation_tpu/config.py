@@ -97,6 +97,12 @@ class Options:
     post_process: bool = False
 
     # TPU-NATIVE additions (no reference counterpart)
+    imagenet_weights: Optional[str] = None  # explicit torchvision resnet
+    # .pth for weights_init=pretrained (offline environments)
+    lr_scheduler: str = "none"  # "none" | "step" (StepLR(scheduler_step_size,
+    # 0.1) — upstream monodepth2's schedule, commented out in the fork at
+    # trainer.py:184-185)
+    depth_decoder_variant: str = "fork"  # "fork" (deconv+BN) | "upstream"
     compute_dtype: str = "bfloat16"  # conv compute precision on the MXU
     mesh_data: int = -1  # data-parallel axis size; -1 = all devices
     mesh_fsdp: int = 1   # parameter-sharding axis size
@@ -176,7 +182,8 @@ PRESETS = {
     "kitti_upstream": dict(dataset="kitti", split="eigen_zhou", height=192,
                            width=640, min_depth=0.1, max_depth=100.0,
                            batch_size=12, learning_rate=1e-4, num_epochs=20,
-                           scheduler_step_size=15, eval_split="eigen"),
+                           scheduler_step_size=15, lr_scheduler="step",
+                           eval_split="eigen"),
 }
 
 

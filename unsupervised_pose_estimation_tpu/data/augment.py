@@ -2,12 +2,14 @@
 
 Re-implements the reference's per-item augmentation pipeline
 (`/root/reference/datasets/mono_dataset2.py:91-96,155-156,179-187`):
-ColorJitter(brightness/contrast/saturation 0.8-1.2, hue ±0.1),
-RandomAutocontrast, and a horizontal flip — each drawn ONCE per item and
-applied identically to all frames. (The reference's Compose re-draws the flip
-per frame, silently de-synchronising the frames its own docstring promises to
-keep consistent; we implement the documented intent. The geometric do_flip of
-`mono_dataset2.py:156` is separate and applies to both color and color_aug.)
+ColorJitter(brightness/contrast/saturation 0.8-1.2, hue ±0.1) and
+RandomAutocontrast — each drawn ONCE per item and applied identically to all
+frames. The reference's Compose also contains a RandomHorizontalFlip that is
+re-drawn per frame and applies only to the aug stream, mirroring the network
+input against the loss geometry for a quarter of the items — a defect, not
+intent; photometric aug here is photometric only, and the geometric do_flip
+of `mono_dataset2.py:156` (applied to BOTH color and color_aug in
+datasets.py) is the one flip.
 
 Jitter factors are applied in a fixed order (brightness, contrast,
 saturation, hue) rather than torchvision's random order — same distribution
@@ -30,7 +32,6 @@ class AugmentParams:
     saturation: float = 1.0
     hue: float = 0.0
     autocontrast: bool = False
-    hflip: bool = False
 
     @classmethod
     def draw(cls, rng: np.random.Generator, is_train: bool) -> "AugmentParams":
@@ -44,7 +45,6 @@ class AugmentParams:
             saturation=float(rng.uniform(0.8, 1.2)),
             hue=float(rng.uniform(-0.1, 0.1)),
             autocontrast=bool(rng.random() < 0.5),
-            hflip=bool(rng.random() < 0.5),
         )
 
 
@@ -60,6 +60,4 @@ def apply_augment(img: Image.Image, p: AugmentParams) -> Image.Image:
         img = Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
     if p.autocontrast:
         img = ImageOps.autocontrast(img)
-    if p.hflip:
-        img = img.transpose(Image.FLIP_LEFT_RIGHT)
     return img

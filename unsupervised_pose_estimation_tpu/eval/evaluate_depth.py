@@ -22,7 +22,8 @@ from ..data.split import readlines
 from ..ops.geometry import disp_to_depth
 from ..train.bundle import ModelBundle
 from ..train.step import build_infer_step
-from .metrics import batch_post_process_disparity, compute_depth_errors
+from .metrics import (batch_post_process_disparity, compute_depth_errors,
+                      resize_bilinear_np as _resize_bilinear_np)
 
 # "stereo" training produces scale-aware depth: nominal 0.1 baseline vs the
 # 54 cm KITTI rig (evaluate_depth.py:21-24)
@@ -49,19 +50,41 @@ class _EvalFrames:
         return {"color": color}  # (H, W, 3) float32 [0,1]
 
 
+def splits_root(opt: Options) -> str:
+    """--split_dir override, else the repo's vendored splits/ tree."""
+    return opt.split_dir or os.path.join(os.path.dirname(__file__),
+                                         "..", "..", "splits")
+
+
 def load_eval_state(opt: Options):
     """Build bundle and load weights from either an orbax checkpoint
-    directory or a reference-format .pth folder."""
+    directory or a reference-format .pth folder.
+
+    When a .pth depth decoder auto-detects as the other variant (upstream
+    monodepth2 vs fork deconv+BN), the bundle is built with the DETECTED
+    variant so no randomly-initialized deconv/BN layers silently run."""
     from ..train.state import create_train_state
     from ..train import checkpoint as ck
     from ..train.checkpoint import latest_step, restore_checkpoint
 
+    folder = os.path.expanduser(opt.load_weights_folder)
+    assert os.path.isdir(folder), f"Cannot find folder {folder}"
+    is_orbax = latest_step(folder) is not None
+
+    dec = None
+    if not is_orbax:
+        dec = ck.import_depth_decoder(os.path.join(folder, "depth.pth"),
+                                      opt.scales)
+        if dec["variant"] != opt.depth_decoder_variant:
+            print(f"-> depth.pth detected as '{dec['variant']}' decoder; "
+                  f"building that variant")
+            opt = type(opt)(**{**opt.__dict__,
+                               "depth_decoder_variant": dec["variant"]})
+
     bundle = ModelBundle.create(opt)
     state = create_train_state(bundle, jax.random.PRNGKey(0),
                                opt.learning_rate)
-    folder = os.path.expanduser(opt.load_weights_folder)
-    assert os.path.isdir(folder), f"Cannot find folder {folder}"
-    if latest_step(folder) is not None:
+    if is_orbax:
         state = restore_checkpoint(folder, state)
     else:
         params = dict(state.params)
@@ -69,8 +92,6 @@ def load_eval_state(opt: Options):
         enc = ck.import_resnet_encoder(
             os.path.join(folder, "encoder.pth"), opt.num_layers)
         params["encoder"], stats["encoder"] = enc["params"], enc["batch_stats"]
-        dec = ck.import_depth_decoder(os.path.join(folder, "depth.pth"),
-                                      opt.scales)
         params["depth"] = {**params["depth"], **dec["params"]}
         state = state.replace(params=params, batch_stats=stats)
     return bundle, state
@@ -118,11 +139,12 @@ def evaluate(opt: Options, gt_depths: Optional[np.ndarray] = None):
         "Please choose mono or stereo evaluation by selecting either " \
         "--eval_mono or --eval_stereo"
 
-    splits_dir = os.path.join(os.path.dirname(__file__), "..", "..", "splits")
+    splits_dir = splits_root(opt)
 
     if opt.ext_disp_to_eval is None:
-        files = readlines(
-            os.path.join(splits_dir, opt.eval_split, "test_files.txt"))
+        from ..data.split import resolve_split_file
+
+        files = readlines(resolve_split_file(splits_dir, opt.eval_split))
         bundle, state = load_eval_state(opt)
         pred_disps = predict_disparities(opt, bundle, state, files)
     else:
@@ -227,22 +249,3 @@ def evaluate(opt: Options, gt_depths: Optional[np.ndarray] = None):
     print(("&{: 8.3f}  " * 7).format(*mean_errors.tolist()) + "\\\\")
     print("\n-> Done!")
     return dict(zip(names, mean_errors.tolist()))
-
-
-def _resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int):
-    """Half-pixel bilinear resize (cv2.resize semantics used at
-    evaluate_depth.py:184)."""
-    h, w = img.shape[:2]
-    if (h, w) == (out_h, out_w):
-        return img
-    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
-    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
-    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
-    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
-    y1 = np.clip(y0 + 1, 0, h - 1)
-    x1 = np.clip(x0 + 1, 0, w - 1)
-    wy = np.clip(ys - y0, 0, 1)[:, None]
-    wx = np.clip(xs - x0, 0, 1)[None, :]
-    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
-    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
-    return top * (1 - wy) + bot * wy

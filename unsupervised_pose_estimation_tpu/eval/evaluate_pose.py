@@ -84,11 +84,14 @@ def plot_trajectory(gt_xyz: np.ndarray, pred_xyz: np.ndarray,
 
 
 def evaluate(opt: Options, gt_poses: Optional[np.ndarray] = None):
-    from .evaluate_depth import load_eval_state
+    """Score ATE/RE. ``gt_poses``: (N, 4, 4) LOCAL source->target transforms
+    (overrides the split's gt_poses_sq2.npz)."""
+    from .evaluate_depth import load_eval_state, splits_root
 
-    splits_dir = os.path.join(os.path.dirname(__file__), "..", "..", "splits")
-    test_file = os.path.join(splits_dir, opt.eval_split, "test_files.txt")
-    filenames = readlines(test_file)
+    splits_dir = splits_root(opt)
+    from ..data.split import resolve_split_file
+
+    filenames = readlines(resolve_split_file(splits_dir, opt.eval_split))
 
     bundle, state = load_eval_state(opt)
     assert bundle.pose_encoder is not None, \
@@ -99,13 +102,11 @@ def evaluate(opt: Options, gt_poses: Optional[np.ndarray] = None):
         gt_path = os.path.join(splits_dir, opt.eval_split,
                                "gt_poses_sq2.npz")
         gt_poses = np.load(gt_path, allow_pickle=True)["data"]
-    gt_poses = np.asarray(gt_poses)
-
-    # GT global poses -> local transforms (evaluate_pose.py:204-206)
-    gt_local = []
-    for i in range(1, len(gt_poses)):
-        gt_local.append(np.linalg.inv(gt_poses[i - 1]) @ gt_poses[i])
-    gt_local = np.asarray(gt_local)
+    # The npz stores LOCAL source->target transforms, consumed directly —
+    # the reference feeds `gt_local_poses` straight into dump_xyz
+    # (evaluate_pose.py:201-213); deriving locals from globals here would
+    # score against a different trajectory.
+    gt_local = np.asarray(gt_poses)
 
     n = min(len(pred_local), len(gt_local))
     ates, res = [], []

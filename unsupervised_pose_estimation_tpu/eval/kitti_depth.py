@@ -1,96 +1,106 @@
-"""KITTI velodyne -> depth-map projection (host-side numpy).
+"""KITTI velodyne -> sparse depth-map projection (host-side numpy).
 
-Fresh implementation of the standard KITTI projection pipeline with the same
-behaviour as the reference's `generate_depth_map`
-(`/root/reference/kitti_utils.py:46-98`): read calib_cam_to_cam +
-calib_velo_to_cam, form P_velo->image for the chosen camera, project scan
-points with positive depth, round to pixel indices, and resolve duplicate
-pixels by keeping the minimum depth.
+Behaviour-parity implementation of the community-standard KITTI projection
+pipeline (the reference's `generate_depth_map`,
+`/root/reference/kitti_utils.py:46-98`, itself credited to hunse/kitti):
+compose P_velo->image from the calibration files, project the forward
+half-space of the scan, round to (matlab-offset) pixel indices, and resolve
+multiple returns per bucket by keeping the nearest one.
+
+Two reference quirks are load-bearing for bit-parity and kept deliberately:
+
+  * pixel indices are ``round(u) - 1`` / ``round(v) - 1`` (matlab heritage);
+  * the duplicate-bucket key is ``v*(W-1) + u - 1`` — NOT a proper raveled
+    index, so a pixel at the right edge of row v shares a bucket with the
+    left edge of row v+1. The nearest depth of such a bucket lands on the
+    FIRST point's pixel (scan order), exactly as the reference computes it.
+
+The dedup itself is vectorized (``np.unique`` + ``np.minimum.at``) instead of
+the reference's O(duplicates) Python loop over a ``Counter``.
 """
 
 from __future__ import annotations
 
 import os
-from collections import Counter
 
 import numpy as np
 
 
 def load_velodyne_points(path: str) -> np.ndarray:
     """(N, 4) float32 scan; reflectance column replaced by 1 (homogeneous)."""
-    points = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
-    points[:, 3] = 1.0
-    return points
+    scan = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    scan[:, 3] = 1.0
+    return scan
 
 
 def read_calib_file(path: str) -> dict:
-    data = {}
-    with open(path, "r") as f:
-        for line in f:
-            if ":" in line:
-                key, value = line.split(":", 1)
-            else:
-                parts = line.split()
-                if not parts:
-                    continue
-                key, value = parts[0], " ".join(parts[1:])
-            try:
-                data[key.strip()] = np.asarray(
-                    [float(x) for x in value.split()])
-            except ValueError:
-                data[key.strip()] = value.strip()
-    return data
+    """KITTI calib text -> {key: float ndarray | str}."""
+    out: dict = {}
+    for raw in open(path):
+        if ":" in raw:
+            key, _, rest = raw.partition(":")
+        else:
+            fields = raw.split()
+            if not fields:
+                continue
+            key, rest = fields[0], " ".join(fields[1:])
+        key = key.strip()
+        try:
+            out[key] = np.asarray(rest.split(), dtype=np.float64)
+        except ValueError:
+            out[key] = rest.strip()
+    return out
 
 
-def sub2ind(matrix_size, row_sub, col_sub):
-    m, n = matrix_size
-    return row_sub * (n - 1) + col_sub - 1
+def _velo_to_image_matrix(calib_dir: str, cam: int) -> tuple:
+    """-> (3x4 projection velodyne->image plane of camera `cam`, (H, W))."""
+    cam2cam = read_calib_file(os.path.join(calib_dir, "calib_cam_to_cam.txt"))
+    velo2cam = read_calib_file(os.path.join(calib_dir,
+                                            "calib_velo_to_cam.txt"))
+    extrinsic = np.eye(4)
+    extrinsic[:3, :3] = velo2cam["R"].reshape(3, 3)
+    extrinsic[:3, 3] = velo2cam["T"]
+    rectify = np.eye(4)
+    rectify[:3, :3] = cam2cam["R_rect_00"].reshape(3, 3)
+    proj = cam2cam[f"P_rect_0{cam}"].reshape(3, 4)
+    h, w = cam2cam["S_rect_02"][::-1].astype(np.int32)
+    return proj @ rectify @ extrinsic, (int(h), int(w))
 
 
 def generate_depth_map(calib_dir: str, velo_filename: str, cam: int = 2,
                        vel_depth: bool = False) -> np.ndarray:
-    """-> (H, W) depth map in meters, zeros where no return."""
-    cam2cam = read_calib_file(
-        os.path.join(calib_dir, "calib_cam_to_cam.txt"))
-    velo2cam_raw = read_calib_file(
-        os.path.join(calib_dir, "calib_velo_to_cam.txt"))
-    velo2cam = np.hstack([velo2cam_raw["R"].reshape(3, 3),
-                          velo2cam_raw["T"].reshape(3, 1)])
-    velo2cam = np.vstack([velo2cam, [0, 0, 0, 1]])
+    """-> (H, W) float depth map in meters, zero where the scan has no return.
 
-    im_shape = cam2cam["S_rect_02"][::-1].astype(np.int32)
+    ``vel_depth=True`` stores the velodyne forward coordinate instead of the
+    rectified-camera z (used by the eigen GT export).
+    """
+    P, (h, w) = _velo_to_image_matrix(calib_dir, cam)
 
-    r_cam2rect = np.eye(4)
-    r_cam2rect[:3, :3] = cam2cam["R_rect_00"].reshape(3, 3)
-    p_rect = cam2cam[f"P_rect_0{cam}"].reshape(3, 4)
-    p_velo2im = p_rect @ r_cam2rect @ velo2cam
+    scan = load_velodyne_points(velo_filename)
+    scan = scan[scan[:, 0] >= 0]  # keep the forward half-space
 
-    velo = load_velodyne_points(velo_filename)
-    velo = velo[velo[:, 0] >= 0, :]  # points in front of the car
+    cam_pts = scan @ P.T  # (N, 3): (u*z, v*z, z)
+    z = scan[:, 0] if vel_depth else cam_pts[:, 2]
+    # matlab-offset integer pixel coordinates (kitti_utils.py:74-76)
+    u = np.round(cam_pts[:, 0] / cam_pts[:, 2]) - 1
+    v = np.round(cam_pts[:, 1] / cam_pts[:, 2]) - 1
 
-    velo_pts_im = (p_velo2im @ velo.T).T
-    velo_pts_im[:, :2] = velo_pts_im[:, :2] / velo_pts_im[:, 2][..., None]
-    if vel_depth:
-        velo_pts_im[:, 2] = velo[:, 0]
+    inside = (u >= 0) & (v >= 0) & (u < w) & (v < h)
+    u = u[inside].astype(np.int64)
+    v = v[inside].astype(np.int64)
+    z = z[inside].astype(np.float64)
 
-    # round to pixel positions; the reference subtracts 1 (matlab indexing)
-    velo_pts_im[:, 0] = np.round(velo_pts_im[:, 0]) - 1
-    velo_pts_im[:, 1] = np.round(velo_pts_im[:, 1]) - 1
-    val_inds = (velo_pts_im[:, 0] >= 0) & (velo_pts_im[:, 1] >= 0) & \
-        (velo_pts_im[:, 0] < im_shape[1]) & (velo_pts_im[:, 1] < im_shape[0])
-    velo_pts_im = velo_pts_im[val_inds, :]
+    depth = np.zeros((h, w))
+    depth[v, u] = z  # last return wins the scatter; buckets fixed below
 
-    depth = np.zeros(im_shape)
-    depth[velo_pts_im[:, 1].astype(np.int64),
-          velo_pts_im[:, 0].astype(np.int64)] = velo_pts_im[:, 2]
+    # nearest-return resolution per quirk-key bucket (see module docstring)
+    bucket = v * (w - 1) + u - 1
+    _, first, inverse, counts = np.unique(
+        bucket, return_index=True, return_inverse=True, return_counts=True)
+    nearest = np.full(counts.shape, np.inf)
+    np.minimum.at(nearest, inverse, z)
+    multi = counts > 1
+    depth[v[first[multi]], u[first[multi]]] = nearest[multi]
 
-    # duplicate pixels keep the nearest return
-    inds = sub2ind(depth.shape, velo_pts_im[:, 1], velo_pts_im[:, 0])
-    dupe_inds = [item for item, count in Counter(inds).items() if count > 1]
-    for dd in dupe_inds:
-        pts = np.where(inds == dd)[0]
-        x_loc = int(velo_pts_im[pts[0], 0])
-        y_loc = int(velo_pts_im[pts[0], 1])
-        depth[y_loc, x_loc] = velo_pts_im[pts, 2].min()
     depth[depth < 0] = 0
     return depth

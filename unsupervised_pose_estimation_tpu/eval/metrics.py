@@ -28,6 +28,61 @@ def compute_depth_errors(gt: np.ndarray, pred: np.ndarray):
     return abs_rel, sq_rel, rmse, rmse_log, a1, a2, a3
 
 
+def resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int):
+    """Half-pixel bilinear resize (cv2.resize / F.interpolate
+    align_corners=False semantics, used at reference evaluate_depth.py:184
+    and trainer.py:694-695)."""
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+# metric keys of the reference's train-time GT monitoring
+# (/root/reference/trainer.py:261-262)
+TRAIN_DEPTH_METRIC_NAMES = ("de/abs_rel", "de/sq_rel", "de/rms",
+                            "de/log_rms", "da/a1", "da/a2", "da/a3")
+
+
+def train_time_depth_metrics(pred_depth: np.ndarray, depth_gt: np.ndarray):
+    """Batch-averaged GT depth metrics for monitoring during training —
+    the `compute_depth_losses` analogue (`/root/reference/trainer.py:688-716`;
+    its own docstring flags the whole-batch averaging as approximate).
+
+    pred_depth: (B, h, w) predicted depth; depth_gt: (B, H, W) with zeros
+    where GT is absent. Predictions are bilinearly resized to the GT
+    resolution, clamped to [1e-3, 80], masked by gt>0 AND the garg/eigen crop
+    (rows 153:371, cols 44:1197 — applied verbatim as the reference does,
+    regardless of dataset), then median-scaled. Returns {} when the mask is
+    empty."""
+    b, gt_h, gt_w = depth_gt.shape
+    pred = np.stack([resize_bilinear_np(p, gt_h, gt_w) for p in pred_depth])
+    pred = np.clip(pred, 1e-3, 80.0)
+
+    mask = depth_gt > 0
+    crop = np.zeros_like(mask)
+    crop[:, 153:371, 44:1197] = True
+    mask &= crop
+    if not mask.any():
+        return {}
+    gt = depth_gt[mask]
+    pred = pred[mask]
+    pred = pred * (np.median(gt) / np.median(pred))
+    pred = np.clip(pred, 1e-3, 80.0)
+    return dict(zip(TRAIN_DEPTH_METRIC_NAMES,
+                    (float(v) for v in compute_depth_errors(gt, pred))))
+
+
 def batch_post_process_disparity(l_disp: np.ndarray, r_disp: np.ndarray):
     """Merge left/flipped disparities with the monodepth ramp mask."""
     _, h, w = l_disp.shape

@@ -23,11 +23,12 @@ class PoseDecoder(nn.Module):
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         assert len(input_features) == self.num_input_features
         last = [f[-1].astype(self.compute_dtype) for f in input_features]
-        squeezed = [
-            nn.relu(nn.Conv(256, (1, 1), dtype=self.compute_dtype,
-                            name=f"squeeze_{i}" if i else "squeeze")(f))
-            for i, f in enumerate(last)
-        ]
+        # ONE squeeze conv shared across all input feature stacks
+        # (reference applies the same self.convs["squeeze"] to each,
+        # networks/pose_decoder.py:38)
+        squeeze = nn.Conv(256, (1, 1), dtype=self.compute_dtype,
+                          name="squeeze")
+        squeezed = [nn.relu(squeeze(f)) for f in last]
         out = jnp.concatenate(squeezed, axis=-1)
         for i in range(3):
             features = (6 * self.num_frames_to_predict_for if i == 2 else 256)

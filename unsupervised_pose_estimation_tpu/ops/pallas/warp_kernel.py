@@ -130,12 +130,186 @@ def _corner_kernel(h: int, w: int, src_ref, x0_ref, yl_ref, ymin_ref,
     jax.lax.fori_loop(0, h // RB, block_body, 0)
 
 
-def _fetch_corners(src, x0i, yl, ymin, interpret=False):
-    """src (P, H, W) f32; x0i/yl (P, H, W) i32; ymin (P, H//RB, 1) i32
-    -> 4 corner arrays (P, H, W) f32. P = batch*channel planes."""
+MB = 16  # mini-band rows per OUTPUT ROW (v2 kernel); 8-aligned start
+
+
+def _corner_kernel_v2(h: int, w: int, src_ref, x0_ref, yl_ref, ymin_ref,
+                      v00_ref, v01_ref, v10_ref, v11_ref):
+    """v2: per-output-row 16-row mini-bands + transposed y-select.
+
+    vs v1: (a) the x-tap lane gathers read a (MB=16, 128) mini-band sliced
+    at each output row's own aligned start instead of one (BAND_H=40, 128)
+    band per 8-row block — 2.5x fewer gathered elements; (b) the y-taps are
+    resolved by transposing the gathered columns to (128, MB) and lane-
+    gathering at yl/yl+1 — replacing the 4 masked (40,128) multiply-reduces
+    per row. ymin here is per ROW (H, 1) in SMEM.
+    """
+    n_groups = w // LANE
+
+    def block_body(rb, _):
+        r8 = pl.multiple_of(rb * RB, RB)
+        x0_blk = x0_ref[pl.ds(r8, RB), :]  # (RB, W)
+        yl_blk = yl_ref[pl.ds(r8, RB), :]
+
+        for c in range(n_groups):  # output column chunks
+            cs = slice(c * LANE, (c + 1) * LANE)
+            x0c = x0_blk[:, cs]  # (RB, 128)
+            ylc = yl_blk[:, cs]
+            x1c = x0c + 1
+            g0 = x0c // LANE
+            g1 = x1c // LANE
+            gmin = jnp.min(g0)
+            gmax = jnp.max(g1)
+
+            b0s = [jnp.zeros((MB, LANE), jnp.float32) for _ in range(RB)]
+            b1s = [jnp.zeros((MB, LANE), jnp.float32) for _ in range(RB)]
+            for g in range(n_groups):  # source column groups
+                def visit(ops, g=g):
+                    b0s_, b1s_ = ops[:RB], ops[RB:]
+                    new0, new1 = [], []
+                    for i in range(RB):
+                        start = pl.multiple_of(ymin_ref[r8 + i, 0], 8)
+                        grp = src_ref[pl.ds(start, MB),
+                                      g * LANE:(g + 1) * LANE]
+                        w0 = jnp.broadcast_to(x0c[i:i + 1] % LANE,
+                                              (MB, LANE))
+                        w1 = jnp.broadcast_to(x1c[i:i + 1] % LANE,
+                                              (MB, LANE))
+                        part0 = jnp.take_along_axis(grp, w0, axis=1)
+                        part1 = jnp.take_along_axis(grp, w1, axis=1)
+                        sel0 = jnp.broadcast_to(g0[i:i + 1] == g,
+                                                (MB, LANE))
+                        sel1 = jnp.broadcast_to(g1[i:i + 1] == g,
+                                                (MB, LANE))
+                        new0.append(jnp.where(sel0, part0, b0s_[i]))
+                        new1.append(jnp.where(sel1, part1, b1s_[i]))
+                    return tuple(new0 + new1)
+
+                carry = jax.lax.cond(
+                    jnp.logical_and(g >= gmin, g <= gmax), visit,
+                    lambda ops: ops, tuple(b0s + b1s))
+                b0s, b1s = list(carry[:RB]), list(carry[RB:])
+
+            out00 = jnp.zeros((RB, LANE), jnp.float32)
+            out01 = jnp.zeros((RB, LANE), jnp.float32)
+            out10 = jnp.zeros((RB, LANE), jnp.float32)
+            out11 = jnp.zeros((RB, LANE), jnp.float32)
+            sel_rows = jax.lax.broadcasted_iota(jnp.int32, (RB, LANE), 0)
+            for i in range(RB):
+                # both taps side by side: (128, 2*MB); Mosaic's lane gather
+                # needs full-shape indices, so the 4 wanted corners occupy
+                # the first 4 index columns and the rest are don't-cares
+                bq = jnp.concatenate([b0s[i].T, b1s[i].T], axis=1)
+                idx = ylc[i:i + 1].T  # (128, 1)
+                idx4 = jnp.concatenate(
+                    [idx, idx + MB, idx + 1, idx + MB + 1], axis=1)
+                idx_full = jnp.concatenate(
+                    [idx4] * (2 * MB // 4), axis=1)  # (128, 2*MB)
+                quad = jnp.take_along_axis(bq, idx_full, axis=1)[:, :4]
+                quad = quad.T  # (4, 128): v00, v01, v10, v11
+                # sub-sublane row stores trip Mosaic; accumulate the block
+                # and store (RB, LANE) once per chunk
+                sel_row = sel_rows == i
+                out00 = jnp.where(sel_row, quad[0:1], out00)
+                out01 = jnp.where(sel_row, quad[1:2], out01)
+                out10 = jnp.where(sel_row, quad[2:3], out10)
+                out11 = jnp.where(sel_row, quad[3:4], out11)
+            sl = (pl.ds(r8, RB), cs)
+            v00_ref[sl] = out00
+            v01_ref[sl] = out01
+            v10_ref[sl] = out10
+            v11_ref[sl] = out11
+        return 0
+
+    jax.lax.fori_loop(0, h // RB, block_body, 0)
+
+
+def _corner_kernel_v3(h: int, w: int, src_ref, x0_ref, yl_ref, ymin_ref,
+                      v00_ref, v01_ref, v10_ref, v11_ref):
+    """v3: v1's block bands, but the masked y-reduction happens INSIDE the
+    per-group visit so the lax.cond carry is only the four (RB, LANE) output
+    accumulators (64 KB -> 16 KB at BAND_H=40) instead of 2*RB full
+    (BAND_H, LANE) tap buffers — the big carry forced VMEM spills on every
+    group iteration. Contributions accumulate additively: each output pixel's
+    tap lives in exactly one source column group, so cross-group sums never
+    overlap."""
+    n_groups = w // LANE
+
+    def block_body(rb, _):
+        r8 = pl.multiple_of(rb * RB, RB)
+        band_start = pl.multiple_of(ymin_ref[rb, 0], 8)
+        band = src_ref[pl.ds(band_start, BAND_H), :]  # (BAND_H, W)
+        x0_blk = x0_ref[pl.ds(r8, RB), :]  # (RB, W)
+        yl_blk = yl_ref[pl.ds(r8, RB), :]
+
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BAND_H, LANE), 0)
+        sel_rows = jax.lax.broadcasted_iota(jnp.int32, (RB, LANE), 0)
+
+        for c in range(n_groups):  # output column chunks
+            cs = slice(c * LANE, (c + 1) * LANE)
+            x0c = x0_blk[:, cs]  # (RB, 128)
+            ylc = yl_blk[:, cs]
+            x1c = x0c + 1
+            g0 = x0c // LANE
+            g1 = x1c // LANE
+            gmin = jnp.min(g0)
+            gmax = jnp.max(g1)
+
+            zeros = jnp.zeros((RB, LANE), jnp.float32)
+            outs = (zeros, zeros, zeros, zeros)
+            for g in range(n_groups):  # source column groups
+                def visit(outs, g=g):
+                    o00, o01, o10, o11 = outs
+                    grp = band[:, g * LANE:(g + 1) * LANE]
+                    for i in range(RB):
+                        w0 = jnp.broadcast_to(x0c[i:i + 1] % LANE,
+                                              (BAND_H, LANE))
+                        w1 = jnp.broadcast_to(x1c[i:i + 1] % LANE,
+                                              (BAND_H, LANE))
+                        part0 = jnp.take_along_axis(grp, w0, axis=1)
+                        part1 = jnp.take_along_axis(grp, w1, axis=1)
+                        m0 = rows_iota == ylc[i:i + 1]
+                        m1 = rows_iota == ylc[i:i + 1] + 1
+                        s0 = jnp.broadcast_to(g0[i:i + 1] == g,
+                                              (BAND_H, LANE))
+                        s1 = jnp.broadcast_to(g1[i:i + 1] == g,
+                                              (BAND_H, LANE))
+                        r00 = jnp.sum(jnp.where(m0 & s0, part0, 0.0),
+                                      axis=0, keepdims=True)
+                        r01 = jnp.sum(jnp.where(m0 & s1, part1, 0.0),
+                                      axis=0, keepdims=True)
+                        r10 = jnp.sum(jnp.where(m1 & s0, part0, 0.0),
+                                      axis=0, keepdims=True)
+                        r11 = jnp.sum(jnp.where(m1 & s1, part1, 0.0),
+                                      axis=0, keepdims=True)
+                        sel = sel_rows == i
+                        o00 = o00 + jnp.where(sel, r00, 0.0)
+                        o01 = o01 + jnp.where(sel, r01, 0.0)
+                        o10 = o10 + jnp.where(sel, r10, 0.0)
+                        o11 = o11 + jnp.where(sel, r11, 0.0)
+                    return (o00, o01, o10, o11)
+
+                outs = jax.lax.cond(
+                    jnp.logical_and(g >= gmin, g <= gmax), visit,
+                    lambda o: o, outs)
+
+            sl = (pl.ds(r8, RB), cs)
+            v00_ref[sl], v01_ref[sl], v10_ref[sl], v11_ref[sl] = outs
+        return 0
+
+    jax.lax.fori_loop(0, h // RB, block_body, 0)
+
+
+def _fetch_corners(src, x0i, yl, ymin, interpret=False, version=2):
+    """src (P, H, W) f32; x0i/yl (P, H, W) i32; ymin i32 (P, H, 1) for v2 /
+    (P, H//RB, 1) for v1 -> 4 corner arrays (P, H, W) f32.
+    P = batch*channel planes."""
     p, h, w = src.shape
-    kernel = functools.partial(_corner_kernel, h, w)
+    kern = {1: _corner_kernel, 2: _corner_kernel_v2,
+            3: _corner_kernel_v3}[version]
+    kernel = functools.partial(kern, h, w)
     vm = pltpu.VMEM
+    n_ymin = h if version == 2 else h // RB
     out = pl.pallas_call(
         kernel,
         grid=(p,),
@@ -143,7 +317,7 @@ def _fetch_corners(src, x0i, yl, ymin, interpret=False):
             pl.BlockSpec((None, h, w), lambda i: (i, 0, 0), memory_space=vm),
             pl.BlockSpec((None, h, w), lambda i: (i, 0, 0), memory_space=vm),
             pl.BlockSpec((None, h, w), lambda i: (i, 0, 0), memory_space=vm),
-            pl.BlockSpec((None, h // RB, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((None, n_ymin, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=tuple(
@@ -156,7 +330,8 @@ def _fetch_corners(src, x0i, yl, ymin, interpret=False):
     return out
 
 
-def grid_sample_fast(image, grid, interpret=False, planar_out=False):
+def grid_sample_fast(image, grid, interpret=False, planar_out=False,
+                     version=2):
     """Bilinear sample with torch grid_sample(border, align_corners=True)
     semantics; NO gradient to `image` (stop_gradient on the fetched corners;
     exact coordinate gradients through the lerp).
@@ -182,14 +357,23 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False):
     x0i = x0.astype(jnp.int32)  # (B, H, W)
     y0i = y0.astype(jnp.int32)
 
-    # 8-aligned band start per output row-BLOCK; the +1 y-tap must fit too
-    y_blk = y0i.reshape(b, h // RB, RB * w)
-    ymin = (jnp.min(y_blk, axis=2) // 8) * 8  # (B, H//RB)
-    ymin = jnp.clip(ymin, 0, h - BAND_H)
-    span = jnp.max(y_blk, axis=2) + 1 - ymin
-    band_ok = jnp.all(span <= BAND_H - 1)
-
-    yl = y0i - jnp.repeat(ymin, RB, axis=1)[..., None]
+    if version == 2:
+        # 8-aligned mini-band start per output ROW; +1 y-tap must fit too
+        ymin = (jnp.min(y0i, axis=2) // 8) * 8  # (B, H)
+        ymin = jnp.clip(ymin, 0, h - MB)
+        span = jnp.max(y0i, axis=2) + 1 - ymin
+        band_ok = jnp.all(span <= MB - 1)
+        yl = y0i - ymin[..., None]
+        yl_max = MB - 2
+    else:
+        # 8-aligned band start per output row-BLOCK
+        y_blk = y0i.reshape(b, h // RB, RB * w)
+        ymin = (jnp.min(y_blk, axis=2) // 8) * 8  # (B, H//RB)
+        ymin = jnp.clip(ymin, 0, h - BAND_H)
+        span = jnp.max(y_blk, axis=2) + 1 - ymin
+        band_ok = jnp.all(span <= BAND_H - 1)
+        yl = y0i - jnp.repeat(ymin, RB, axis=1)[..., None]
+        yl_max = BAND_H - 2
 
     def fast(_):
         planes = jnp.moveaxis(img, -1, 1).reshape(b * c, h, w)
@@ -198,8 +382,8 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False):
             return jnp.repeat(a, c, axis=0)
 
         v = _fetch_corners(
-            planes, rep(x0i), rep(jnp.clip(yl, 0, BAND_H - 2)),
-            rep(ymin[..., None]), interpret=interpret)
+            planes, rep(x0i), rep(jnp.clip(yl, 0, yl_max)),
+            rep(ymin[..., None]), interpret=interpret, version=version)
         # keep corners planar; the caller lerps planar and transposes ONCE
         return tuple(a.reshape(b, c, h, w) for a in v)
 

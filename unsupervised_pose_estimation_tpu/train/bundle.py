@@ -39,7 +39,8 @@ class ModelBundle:
     def create(cls, cfg: Options) -> "ModelBundle":
         dt = _dtype(cfg)
         enc = ResNetEncoder(num_layers=cfg.num_layers, compute_dtype=dt)
-        depth = DepthDecoder(scales=tuple(cfg.scales), compute_dtype=dt)
+        depth = DepthDecoder(scales=tuple(cfg.scales), compute_dtype=dt,
+                             variant=cfg.depth_decoder_variant)
 
         pose_encoder = None
         pose = None

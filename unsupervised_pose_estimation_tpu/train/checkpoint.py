@@ -117,6 +117,13 @@ def import_resnet_encoder(path: str, num_layers: int = 18
     sd = _load_pth(path)
     meta = {k: sd.pop(k) for k in ("height", "width", "use_stereo")
             if k in sd}
+    params, stats = _resnet_tree(sd, num_layers)
+    return {"params": params, "batch_stats": stats, "meta": meta}
+
+
+def _resnet_tree(sd: Dict[str, np.ndarray], num_layers: int):
+    """``encoder.``-prefixed torchvision-layout resnet state_dict ->
+    (flax params, batch_stats)."""
     pre = "encoder."
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -154,7 +161,78 @@ def import_resnet_encoder(path: str, num_layers: int = 18
                 p, s = _bn(sd, f"encoder.layer{stage}.{block}.downsample.1")
                 params[name].setdefault("down", {})["bn"] = p
                 stats[name]["down"] = {"bn": s}
-    return {"params": params, "batch_stats": stats, "meta": meta}
+    return params, stats
+
+
+# torchvision IMAGENET1K_V1 weight files (the zoo the reference pulls via
+# model_zoo at /root/reference/networks/resnet_encoder.py:56,90)
+IMAGENET_RESNET_URLS = {
+    18: "https://download.pytorch.org/models/resnet18-f37072fd.pth",
+    34: "https://download.pytorch.org/models/resnet34-b627a593.pth",
+    50: "https://download.pytorch.org/models/resnet50-0676ba61.pth",
+    101: "https://download.pytorch.org/models/resnet101-63fe2227.pth",
+    152: "https://download.pytorch.org/models/resnet152-394f9c45.pth",
+}
+
+
+def import_torchvision_resnet(path_or_sd, num_layers: int = 18,
+                              num_input_images: int = 1
+                              ) -> Dict[str, Dict[str, Any]]:
+    """UN-prefixed torchvision resnet ``.pth`` (the ImageNet zoo layout) ->
+    flax tree, including the multi-image conv1 weight averaging of the
+    reference (`/root/reference/networks/resnet_encoder.py:56-59`: tile the
+    RGB kernel across the stacked frames and divide by their count)."""
+    sd = path_or_sd if isinstance(path_or_sd, dict) else _load_pth(path_or_sd)
+    sd = {k: v for k, v in sd.items() if not k.startswith("fc.")}
+    if num_input_images > 1:
+        w = sd["conv1.weight"]
+        sd["conv1.weight"] = np.concatenate(
+            [w] * num_input_images, axis=1) / num_input_images
+    sd = {f"encoder.{k}": v for k, v in sd.items()}
+    params, stats = _resnet_tree(sd, num_layers)
+    return {"params": params, "batch_stats": stats}
+
+
+def locate_imagenet_weights(num_layers: int = 18,
+                            explicit: Optional[str] = None) -> str:
+    """-> path to a torchvision ImageNet resnet ``.pth``: the explicit
+    ``--imagenet_weights`` flag, the torch hub cache, or a fresh download.
+    Raises an actionable FileNotFoundError when none is reachable."""
+    import glob
+
+    if explicit:
+        path = os.path.expanduser(explicit)
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"--imagenet_weights {explicit} does not exist")
+        return path
+
+    if num_layers not in IMAGENET_RESNET_URLS:
+        raise ValueError(f"no ImageNet zoo entry for resnet{num_layers}")
+    url = IMAGENET_RESNET_URLS[num_layers]
+    torch_home = os.path.expanduser(
+        os.environ.get("TORCH_HOME", "~/.cache/torch"))
+    cache_dir = os.path.join(torch_home, "hub", "checkpoints")
+    cached = os.path.join(cache_dir, os.path.basename(url))
+    if os.path.isfile(cached):
+        return cached
+    hits = sorted(glob.glob(os.path.join(cache_dir,
+                                         f"resnet{num_layers}-*.pth")))
+    if hits:
+        return hits[0]
+    try:
+        import torch
+
+        torch.hub.load_state_dict_from_url(url, map_location="cpu")
+    except Exception as err:
+        raise FileNotFoundError(
+            f"weights_init=pretrained needs the torchvision ImageNet "
+            f"resnet{num_layers} weights, and neither the torch hub cache "
+            f"({cache_dir}) nor a download ({url}) is available in this "
+            f"environment. Either place the file and pass "
+            f"--imagenet_weights <path>, or train from random init with "
+            f"--weights_init scratch.") from err
+    return cached
 
 
 def import_depth_decoder(path: str, scales=(0, 1, 2, 3), variant="auto"

@@ -31,15 +31,13 @@ from .step import build_eval_step, build_train_step
 def _split_path(split: str, mode: str, split_dir: Optional[str] = None
                 ) -> str:
     # trainer.py:204 hardcodes the "{}_files_phantom.txt" pattern for
-    # endovis; fall back to plain "{}_files.txt" when absent (defect §8.5
-    # intent-fixed: both patterns are searched).
+    # endovis; resolve_split_file searches both patterns (defect §8.5
+    # intent-fixed).
+    from ..data.split import resolve_split_file
+
     here = split_dir or os.path.join(os.path.dirname(__file__), "..", "..",
                                      "splits")
-    for pattern in (f"{mode}_files_phantom.txt", f"{mode}_files.txt"):
-        path = os.path.join(here, split, pattern)
-        if os.path.isfile(path):
-            return path
-    raise FileNotFoundError(f"no split file for {split}/{mode} under {here}")
+    return resolve_split_file(here, split, mode)
 
 
 class Trainer:
@@ -76,11 +74,7 @@ class Trainer:
         self.batch_sharding = batch_sharding(self.mesh)
 
         self.bundle = ModelBundle.create(cfg)
-        rng = jax.random.PRNGKey(cfg.seed)
-        self.state = create_train_state(self.bundle, rng, cfg.learning_rate)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
-
-        self._load_initial_weights()
 
         # data ---------------------------------------------------------
         frame_ids = list(cfg.frame_ids) + (["s"] if cfg.use_stereo else [])
@@ -106,9 +100,11 @@ class Trainer:
             train_ds = make_dataset(cfg.dataset, data_path=cfg.data_path,
                                     filenames=train_files, is_train=True,
                                     **common)
+            # load GT depth for the val monitor when the dataset has it
+            # (check_depth gates; trainer.py:688-716 train-time metrics)
             val_ds = make_dataset(cfg.dataset, data_path=cfg.data_path,
                                   filenames=val_files, is_train=False,
-                                  **common)
+                                  load_depth=True, **common)
 
         self.train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
                                    sharding=self.batch_sharding,
@@ -125,9 +121,23 @@ class Trainer:
         self.steps_per_epoch = min(steps_per_epoch, len(self.train_loader))
         self.num_total_steps = self.steps_per_epoch * cfg.num_epochs
 
-        self.train_step = build_train_step(self.bundle)
+        # optimizer (optionally scheduled) + state ----------------------
+        from .state import lr_schedule, make_optimizer
+
+        sched = lr_schedule(cfg, self.steps_per_epoch)
+        self.lr_fn = sched if callable(sched) else (lambda _: sched)
+        self.tx = make_optimizer(sched)
+        self.state = create_train_state(self.bundle,
+                                        jax.random.PRNGKey(cfg.seed),
+                                        tx=self.tx)
+        self._init_encoders()
+        self._load_initial_weights()
+
+        self.train_step = build_train_step(self.bundle, tx=self.tx,
+                                           mesh=self.mesh)
         self.eval_step = build_eval_step(self.bundle,
-                                         with_images=cfg.log_images)
+                                         with_images=cfg.log_images,
+                                         mesh=self.mesh)
         self.disc_step = None
         if cfg.adversarial_prior:
             from .step import build_disc_step
@@ -153,6 +163,36 @@ class Trainer:
         self.step = 0
 
     # ------------------------------------------------------------------
+    def _init_encoders(self):
+        """weights_init handling: "pretrained" converts the torchvision
+        ImageNet resnet into BOTH encoders — with conv1 weight averaging for
+        the stacked-frame pose encoder — matching the reference's default
+        (`/root/reference/networks/resnet_encoder.py:43-61,90`,
+        options.py:149-153). "scratch" keeps the flax random init."""
+        cfg = self.cfg
+        if cfg.weights_init != "pretrained":
+            print(f"weights_init={cfg.weights_init}: random encoder init")
+            return
+        from . import checkpoint as ck
+
+        path = ck.locate_imagenet_weights(cfg.num_layers,
+                                          cfg.imagenet_weights)
+        params = dict(self.state.params)
+        stats = dict(self.state.batch_stats)
+        tree = ck.import_torchvision_resnet(path, cfg.num_layers, 1)
+        params["encoder"], stats["encoder"] = (tree["params"],
+                                               tree["batch_stats"])
+        loaded = ["encoder"]
+        if "pose_encoder" in params:
+            tree = ck.import_torchvision_resnet(path, cfg.num_layers,
+                                                cfg.num_pose_frames)
+            params["pose_encoder"] = tree["params"]
+            stats["pose_encoder"] = tree["batch_stats"]
+            loaded.append("pose_encoder")
+        self.state = self.state.replace(params=params, batch_stats=stats)
+        print(f"weights_init=pretrained: ImageNet resnet{cfg.num_layers} "
+              f"from {path} -> {', '.join(loaded)}")
+
     def _load_initial_weights(self):
         cfg = self.cfg
         folder = cfg.load_weights_folder
@@ -182,6 +222,12 @@ class Trainer:
                 stats[name] = tree["batch_stats"]
             elif name == "depth":
                 tree = ck.import_depth_decoder(path, cfg.scales)
+                if tree["variant"] != cfg.depth_decoder_variant:
+                    raise ValueError(
+                        f"{path} is a '{tree['variant']}' decoder but the "
+                        f"run is configured for "
+                        f"'{cfg.depth_decoder_variant}'; pass "
+                        f"--depth_decoder_variant {tree['variant']}")
                 params[name] = {**params[name], **tree["params"]}
             elif name == "pose":
                 if cfg.pose_model_type == "posecnn":
@@ -239,18 +285,29 @@ class Trainer:
                                      duration, cfg.batch_size, loss)
                 self.logger.log_scalars(
                     "train", {k: float(v) for k, v in losses.items()},
-                    self.step, learning_rate=cfg.learning_rate)
+                    self.step, learning_rate=float(self.lr_fn(self.step)))
                 self.val()
             self.profiler.maybe_stop(self.step)
             self.step += 1
 
     def val(self):
-        """Single-minibatch validation (trainer.py:463-489)."""
-        batch = next(self.val_iter)
+        """Single-minibatch validation (trainer.py:463-489), with GT depth
+        metrics when the dataset ships GT (compute_depth_losses analogue,
+        trainer.py:688-716)."""
+        batch = dict(next(self.val_iter))
+        depth_gt = batch.pop("depth_gt", None)  # host-side metric input
         self.rng, sub = jax.random.split(self.rng)
         losses, outputs = self.eval_step(self.state, batch, sub)
-        self.logger.log_scalars(
-            "val", {k: float(v) for k, v in losses.items()}, self.step)
+        scalars = {k: float(v) for k, v in losses.items()}
+        if depth_gt is not None:
+            from ..eval.metrics import train_time_depth_metrics
+            from ..ops.geometry import disp_to_depth
+
+            _, depth = disp_to_depth(outputs["disp"][0][..., 0],
+                                     self.cfg.min_depth, self.cfg.max_depth)
+            scalars.update(train_time_depth_metrics(
+                np.asarray(depth), np.asarray(depth_gt)))
+        self.logger.log_scalars("val", scalars, self.step)
         if self.cfg.log_images:
             # per-scale disparity / automask / warped-color grids, the
             # wandb_logging.py:100-158 surface

@@ -25,8 +25,31 @@ class TrainState(flax.struct.PyTreeNode):
     disc_opt_state: Optional[optax.OptState] = None
 
 
-def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
-    # torch Adam defaults (betas (0.9, 0.999), eps 1e-8), trainer.py:183
+def lr_schedule(cfg, steps_per_epoch: int = 1):
+    """-> float or optax schedule for cfg.lr_scheduler.
+
+    "step" is torch StepLR(scheduler_step_size, gamma=0.1) — upstream
+    monodepth2's schedule (live there, commented out in the fork at
+    `/root/reference/trainer.py:184-185`); epochs are converted to optimizer
+    steps since the whole update runs inside one jitted program."""
+    if cfg.lr_scheduler == "none":
+        return cfg.learning_rate
+    if cfg.lr_scheduler == "step":
+        return optax.exponential_decay(
+            init_value=cfg.learning_rate,
+            transition_steps=max(1, cfg.scheduler_step_size * steps_per_epoch),
+            decay_rate=0.1, staircase=True)
+    raise ValueError(f"unknown lr_scheduler '{cfg.lr_scheduler}'")
+
+
+def make_optimizer(learning_rate) -> optax.GradientTransformation:
+    """learning_rate: float or optax schedule.
+    torch Adam defaults (betas (0.9, 0.999), eps 1e-8), trainer.py:183.
+
+    A float is wrapped as a constant schedule so the opt_state pytree has the
+    same structure with and without a scheduler (checkpoint compatibility)."""
+    if not callable(learning_rate):
+        learning_rate = optax.constant_schedule(learning_rate)
     return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
 
 
@@ -35,11 +58,13 @@ def make_disc_optimizer(lr: float, b1: float, b2: float):
     return optax.adam(lr, b1=b1, b2=b2, eps=1e-8)
 
 
-def create_train_state(bundle, rng, learning_rate: float) -> TrainState:
+def create_train_state(bundle, rng, learning_rate: float = 1e-4,
+                       tx: Optional[optax.GradientTransformation] = None
+                       ) -> TrainState:
     import jax.numpy as jnp
 
     variables = bundle.init(rng)
-    tx = make_optimizer(learning_rate)
+    tx = tx or make_optimizer(learning_rate)
     opt_state = tx.init(variables["params"])
     disc_params = variables.get("disc_params")
     disc_opt_state = None

@@ -140,12 +140,16 @@ def predict_poses(bundle: ModelBundle, params, stats, aug_frames, train: bool
 
 
 def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
-                     rng, train: bool, with_images: bool = False):
+                     rng, train: bool, with_images: bool = False,
+                     mesh=None):
     """Full process_batch + generate_images_pred + compute_losses.
 
     Args:
       batch: {'color': (B,F,H,W,3), 'color_aug': (B,F,H,W,3),
               'K_norm': (B,4,4), ['stereo_T': (B,4,4)]}
+      mesh: the run's device mesh; with >1 devices the Pallas warp kernel is
+        dispatched under shard_map over the batch axes (the kernel is
+        per-example, so each shard runs it locally — no collectives).
 
     Returns (total_loss, (losses_dict, outputs_dict, new_stats)).
     """
@@ -253,12 +257,27 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
     # path.
     def warp_fn(src, coords):
         sh_, sw_ = coords.shape[1], coords.shape[2]
+        shards = mesh.size if mesh is not None else 1
+        per_shard_b = src.shape[0] // max(shards, 1)
         if (cfg.use_pallas_warp and jax.default_backend() != "cpu"
-                and jax.device_count() == 1  # shard_map integration: round 2
-                and sw_ % 128 == 0 and sh_ % 8 == 0 and sh_ >= 40
-                and src.shape[1] == sh_ and src.shape[2] == sw_):
+                and sw_ % 128 == 0 and sh_ % 8 == 0 and sh_ >= 16
+                and src.shape[1] == sh_ and src.shape[2] == sw_
+                and (shards > 1 or jax.device_count() == 1)
+                and per_shard_b >= 1):
             from ..ops.pallas.warp_kernel import grid_sample_fast
 
+            if shards > 1:
+                # per-example kernel -> run per shard under shard_map; the
+                # sharding matches parallel.mesh.batch_sharding
+                from jax.sharding import PartitionSpec as P
+
+                axes = (("data", "fsdp") if mesh.shape["fsdp"] > 1
+                        else ("data",))
+                spec = P(axes)
+                return jax.shard_map(
+                    lambda s, c: grid_sample_fast(s, c, planar_out=True),
+                    mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+                    check_vma=False)(src, coords)
             return grid_sample_fast(src, coords, planar_out=True)
         scale = (1.0 / 255.0) if src.dtype == jnp.uint8 else 1.0
         return jnp.moveaxis(grid_sample(src, coords) * scale, -1, 1)
@@ -374,11 +393,13 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
 
 
 def build_train_step(bundle: ModelBundle, tx: Optional[
-        optax.GradientTransformation] = None, donate: bool = True):
+        optax.GradientTransformation] = None, donate: bool = True,
+        mesh=None):
     """Returns train_step(state, batch, rng) -> (state, losses), jitted.
 
     The optimizer update is inside the compiled program (vs the Python-side
-    zero_grad/backward/step of trainer.py:311-313).
+    zero_grad/backward/step of trainer.py:311-313). Pass the run's mesh so
+    the Pallas warp kernel stays active on multi-device runs (shard_map).
     """
     tx = tx or make_optimizer(bundle.cfg.learning_rate)
 
@@ -393,7 +414,8 @@ def build_train_step(bundle: ModelBundle, tx: Optional[
 
         def loss_fn(params):
             return forward_and_loss(bundle, params, state.batch_stats,
-                                    state.frozen, batch, rng, train=True)
+                                    state.frozen, batch, rng, train=True,
+                                    mesh=mesh)
 
         grads, (losses, _, new_stats) = jax.grad(
             loss_fn, has_aux=True)(state.params)
@@ -426,7 +448,10 @@ def build_disc_step(bundle: ModelBundle):
     tx = make_disc_optimizer(cfg.discriminator_lr, cfg.b1, cfg.b2)
 
     def step(state: TrainState, batch, rng):
-        color0 = batch["color"][:, 0]
+        # datasets ship uint8: normalize on device exactly like the main
+        # train step (a raw uint8 image would zero the luma weights and
+        # feed the encoder 0-255 instead of [0,1])
+        color0 = _f32(batch["color"][:, 0])
         gray = _grayscale(color0)
         pseudo = bundle.generator.apply(
             {"params": state.frozen["pre_trained_generator"]}, gray)
@@ -460,14 +485,15 @@ def build_disc_step(bundle: ModelBundle):
     return jax.jit(step)
 
 
-def build_eval_step(bundle: ModelBundle, with_images: bool = False):
+def build_eval_step(bundle: ModelBundle, with_images: bool = False,
+                    mesh=None):
     """val() analogue (trainer.py:463-489): forward + losses, no update,
     BN in inference mode."""
 
     def step(state: TrainState, batch, rng):
         _, (losses, outputs, _) = forward_and_loss(
             bundle, state.params, state.batch_stats, state.frozen, batch,
-            rng, train=False, with_images=with_images)
+            rng, train=False, with_images=with_images, mesh=mesh)
         return losses, outputs
 
     return jax.jit(step)
