@@ -47,8 +47,15 @@ def main():
     t = timeit(xla, img8, grid)
     print(f"xla patch-gather   {t*1e3:7.2f} ms/warp")
 
+    ladder = jax.jit(lambda s, g: grid_sample_fast(s, g, planar_out=True))
+    r = ladder(img8, grid)
+    err = float(jnp.max(jnp.abs(r - r_xla)))
+    t = timeit(ladder, img8, grid)
+    print(f"ladder (default)   {t*1e3:7.2f} ms/warp  (max err {err:.2e})")
+    assert err < 1e-5
+
     import unsupervised_pose_estimation_tpu.ops.pallas.warp_kernel as wk
-    for version in (1, 2, 3):
+    for version in (3, 4, 5):
         for band in ((40, 24) if version != 2 else (40,)):
             wk.BAND_H = band
             fn = jax.jit(lambda s, g, v=version: grid_sample_fast(
