@@ -1,0 +1,91 @@
+"""Input-pipeline reality check: feed the real TPU train step from the
+threaded disk Loader (PNG decode -> augment -> collate -> H2D) and report
+achieved frames/s vs the device-resident bench.py number.
+
+Generates a synthetic endovis-layout PNG tree under /tmp on first use.
+Prints ONE JSON line {"metric": "pipeline_frames_per_sec", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+H, W, B = 192, 640, 12
+
+
+def ensure_tree(root: str, n_frames: int = 200) -> list:
+    from PIL import Image
+
+    folder = os.path.join(root, "seq0")
+    os.makedirs(folder, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n_frames):
+        path = os.path.join(folder, f"{i:010d}.png")
+        if not os.path.isfile(path):
+            arr = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(path)
+    return [f"seq0 {i} l" for i in range(1, n_frames - 1)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--num_workers", type=int, default=8)
+    ap.add_argument("--root", default="/tmp/pipeline_bench_data")
+    args = ap.parse_args()
+
+    import jax
+
+    from unsupervised_pose_estimation_tpu.config import Options
+    from unsupervised_pose_estimation_tpu.data.datasets import LungRAWDataset
+    from unsupervised_pose_estimation_tpu.data.pipeline import Loader
+    from unsupervised_pose_estimation_tpu.train.bundle import ModelBundle
+    from unsupervised_pose_estimation_tpu.train.state import \
+        create_train_state
+    from unsupervised_pose_estimation_tpu.train.step import build_train_step
+
+    files = ensure_tree(args.root)
+    cfg = Options(height=H, width=W, batch_size=B, compute_dtype="bfloat16",
+                  weights_init="scratch").validate()
+    ds = LungRAWDataset(args.root, files, height=H, width=W,
+                        frame_idxs=[0, -1, 1], is_train=True)
+    loader = Loader(ds, B, shuffle=True, num_workers=args.num_workers,
+                    prefetch=2, infinite=True)
+
+    bundle = ModelBundle.create(cfg)
+    state = create_train_state(bundle, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    step = build_train_step(bundle)
+    key = jax.random.PRNGKey(1)
+
+    it = iter(loader)
+    # warmup: compile + fill the prefetch queue
+    for _ in range(2):
+        state, losses = step(state, next(it), key)
+    float(losses["loss"])  # value-fetch sync (axon block_until_ready lies)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, losses = step(state, next(it), key)
+    loss = float(losses["loss"])
+    dt = time.perf_counter() - t0
+    assert loss == loss
+
+    fps = args.steps * B / dt
+    print(json.dumps({
+        "metric": "pipeline_frames_per_sec",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "ms_per_step": round(1000 * dt / args.steps, 1),
+        "num_workers": args.num_workers,
+        "host_cores": os.cpu_count(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
