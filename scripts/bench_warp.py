@@ -55,7 +55,7 @@ def main():
     assert err < 1e-5
 
     import unsupervised_pose_estimation_tpu.ops.pallas.warp_kernel as wk
-    for version in (3, 4, 5):
+    for version in (4, 6):
         for band in ((40, 24) if version != 2 else (40,)):
             wk.BAND_H = band
             fn = jax.jit(lambda s, g, v=version: grid_sample_fast(

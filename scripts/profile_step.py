@@ -14,15 +14,24 @@ import numpy as np
 H, W, B = 192, 640, 12
 
 
-def timeit(fn, *args, n=10, warmup=2):
+def _sync(out):
+    # value fetch: the only reliable sync on the axon backend
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf if leaf.dtype != jnp.uint8 else leaf.astype(jnp.int32)))
+
+
+def timeit(fn, *args, n=10, warmup=2, best_of=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    _sync(out)
+    best = float("inf")
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def main():
@@ -130,6 +139,43 @@ def main():
     depth = jnp.ones((B, H, W, 1))
     K = G.scaled_intrinsics(batch["K_norm"], W, H, 0)
     print(f"backproject+project: {timeit(geom, depth, K)*1e3:8.2f} ms")
+
+    # fwd+loss only (no grad/update): isolates the backward+Adam share
+    from unsupervised_pose_estimation_tpu.train.step import build_eval_step
+
+    estep = build_eval_step(bundle)
+    rngk = jax.random.PRNGKey(2)
+    t = timeit(lambda: estep(state, batch, rngk)[0]["loss"], n=5)
+    print(f"fwd+loss (eval step): {t*1e3:8.2f} ms")
+
+    # conv stacks fwd+bwd (param grads of a scalar of the outputs)
+    @jax.jit
+    def encdec_grad(p):
+        feats = bundle.encoder.apply(
+            {"params": p["encoder"],
+             "batch_stats": state.batch_stats["encoder"]}, img, False)
+        d = bundle.depth.apply(
+            {"params": p["depth"],
+             "batch_stats": state.batch_stats["depth"]}, feats, False)
+        return jnp.mean(d[0])
+
+    g1 = jax.jit(jax.grad(encdec_grad))
+    t = timeit(lambda: g1({"encoder": state.params["encoder"],
+                           "depth": state.params["depth"]}), n=5)
+    print(f"encoder+decoder fwd+bwd: {t*1e3:8.2f} ms")
+
+    @jax.jit
+    def pose_grad(p):
+        f = bundle.pose_encoder.apply(
+            {"params": p["pose_encoder"],
+             "batch_stats": state.batch_stats["pose_encoder"]}, pair, False)
+        aa, tt = bundle.pose.apply({"params": p["pose"]}, [f])
+        return jnp.mean(aa) + jnp.mean(tt)
+
+    g2 = jax.jit(jax.grad(pose_grad))
+    t = timeit(lambda: g2({"pose_encoder": state.params["pose_encoder"],
+                           "pose": state.params["pose"]}), n=5)
+    print(f"pose enc+dec fwd+bwd (2B): {t*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":

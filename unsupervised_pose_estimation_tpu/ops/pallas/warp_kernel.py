@@ -441,6 +441,116 @@ def _corner_kernel_v5(h: int, w: int, band_h: int, src_ref, x0_ref, yl_ref,
     jax.lax.fori_loop(0, h // RB, block_body, 0)
 
 
+RBP = 16  # output rows per block in the channel-packed kernel (bf16 stores
+# need 16-sublane alignment)
+
+
+def _corner_kernel_v6(h: int, w: int, c: int, band_h: int, src_ref, x0_ref,
+                      yl_ref, ymin_ref, v00_ref, v01_ref, v10_ref, v11_ref):
+    """v6: channel-packed v4. One program per BATCH element; the C channel
+    bands stack vertically so each lane gather fetches ALL channels at once
+    (3x fewer gather/mask ops than per-plane programs). Sources arrive as
+    raw 0..255-valued f32; corners store as bf16, which represents those
+    integers exactly (<= 2^8), quartering the corner write traffic.
+
+    src: (C*H, W) f32 raw-u8-valued; x0/yl: (H, W) i32 shared by channels;
+    ymin: (H//RBP, 1) SMEM; outs: 4x (C*H, W) bf16.
+    """
+    n_groups = w // LANE
+    cb = c * band_h
+
+    def block_body(rb, _):
+        r16 = pl.multiple_of(rb * RBP, RBP)
+        start = pl.multiple_of(ymin_ref[rb, 0], 8)
+        band = jnp.concatenate(
+            [src_ref[pl.ds(ch * h + start, band_h), :] for ch in range(c)],
+            axis=0)  # (C*band_h, W)
+        x0_blk = x0_ref[pl.ds(r16, RBP), :]  # (RBP, W)
+        yl_blk = yl_ref[pl.ds(r16, RBP), :]
+
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (cb, LANE), 0)
+        rows_local = rows2 % band_h
+        sel_rows = jax.lax.broadcasted_iota(jnp.int32, (RBP, LANE), 0)
+
+        for cc in range(n_groups):  # output column chunks
+            cs = slice(cc * LANE, (cc + 1) * LANE)
+            x0c = x0_blk[:, cs]  # (RBP, 128)
+            ylc = yl_blk[:, cs]
+            x1c = x0c + 1
+            g0 = x0c // LANE
+            g1 = x1c // LANE
+
+            zeros = jnp.zeros((RBP, LANE), jnp.float32)
+            outs = [[zeros] * c for _ in range(4)]
+            for g in range(max(0, cc - 1), min(n_groups, cc + 2)):
+                grp = band[:, g * LANE:(g + 1) * LANE]  # (C*band_h, 128)
+                for i in range(RBP):
+                    w0 = jnp.broadcast_to(x0c[i:i + 1] % LANE, (cb, LANE))
+                    w1 = jnp.broadcast_to(x1c[i:i + 1] % LANE, (cb, LANE))
+                    part0 = jnp.take_along_axis(grp, w0, axis=1)
+                    part1 = jnp.take_along_axis(grp, w1, axis=1)
+                    m0 = rows_local == ylc[i:i + 1]
+                    m1 = rows_local == ylc[i:i + 1] + 1
+                    s0 = jnp.broadcast_to(g0[i:i + 1] == g, (cb, LANE))
+                    s1 = jnp.broadcast_to(g1[i:i + 1] == g, (cb, LANE))
+                    # per-channel one-hot row sums: (C, band_h, 128) -> (C, 128)
+                    quads = [
+                        jnp.sum(jnp.where(m0 & s0, part0, 0.0).reshape(
+                            c, band_h, LANE), axis=1),
+                        jnp.sum(jnp.where(m0 & s1, part1, 0.0).reshape(
+                            c, band_h, LANE), axis=1),
+                        jnp.sum(jnp.where(m1 & s0, part0, 0.0).reshape(
+                            c, band_h, LANE), axis=1),
+                        jnp.sum(jnp.where(m1 & s1, part1, 0.0).reshape(
+                            c, band_h, LANE), axis=1),
+                    ]
+                    sel = sel_rows == i
+                    for k in range(4):
+                        for ch in range(c):
+                            outs[k][ch] = outs[k][ch] + jnp.where(
+                                sel, quads[k][ch:ch + 1], 0.0)
+
+            for ch in range(c):
+                sl = (pl.ds(ch * h + r16, RBP), cs)
+                v00_ref[sl] = outs[0][ch].astype(jnp.bfloat16)
+                v01_ref[sl] = outs[1][ch].astype(jnp.bfloat16)
+                v10_ref[sl] = outs[2][ch].astype(jnp.bfloat16)
+                v11_ref[sl] = outs[3][ch].astype(jnp.bfloat16)
+        return 0
+
+    jax.lax.fori_loop(0, h // RBP, block_body, 0)
+
+
+def _fetch_corners_packed(src, x0i, yl, ymin, band_h, interpret=False):
+    """src (B, C*H, W) raw-u8-valued f32; x0i/yl (B, H, W) i32;
+    ymin (B, H//RBP, 1) i32 -> 4 corner arrays (B, C*H, W) bf16."""
+    b, ch_, w = src.shape
+    h = x0i.shape[1]
+    c = ch_ // h
+    kernel = functools.partial(_corner_kernel_v6, h, w, c, band_h)
+    vm = pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, ch_, w), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((None, h // RBP, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((None, ch_, w), lambda i: (i, 0, 0),
+                         memory_space=vm)
+            for _ in range(4)),
+        out_shape=tuple(jax.ShapeDtypeStruct((b, ch_, w), jnp.bfloat16)
+                        for _ in range(4)),
+        interpret=interpret,
+    )(src, x0i, yl, ymin)
+    return out
+
+
 def _fetch_corners(src, x0i, yl, ymin, interpret=False, version=3,
                    band_h=None):
     """src (P, H, W) f32; x0i/yl (P, H, W) i32; ymin i32 (P, H, 1) for v2 /
@@ -477,7 +587,7 @@ def _fetch_corners(src, x0i, yl, ymin, interpret=False, version=3,
 
 
 def grid_sample_fast(image, grid, interpret=False, planar_out=False,
-                     version=4):
+                     version=6):
     """Bilinear sample with torch grid_sample(border, align_corners=True)
     semantics; NO gradient to `image` (stop_gradient on the fetched corners;
     exact coordinate gradients through the lerp).
@@ -488,12 +598,13 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
     stays channel-planar (B, C, H, W) — the loss pipeline consumes planar,
     so the NHWC round-trip is skipped entirely.
 
-    Runtime dispatch ladder (default): the cond-free v4 kernel when both the
-    y-band and the |x-shift|<128 window fit (typical depth+pose warps), else
-    the cond-guarded v3 kernel for large horizontal motion (e.g. strong
-    stereo disparity), else the exact XLA patch-gather — large motion
-    degrades gracefully instead of falling off a cliff. Measured on 1x v5e
-    at 640x192x12x3: XLA 42.9 ms, v1 8.7, v3 5.9, v4 3.9 ms/warp.
+    Runtime dispatch ladder (default): the channel-packed cond-free v6
+    kernel for uint8 sources when both the y-band and the |x-shift|<128
+    window fit (typical depth+pose warps), else the per-plane v4, else the
+    cond-guarded v3 kernel for large horizontal motion (e.g. strong stereo
+    disparity), else the exact XLA patch-gather — large motion degrades
+    gracefully instead of falling off a cliff. Measured on 1x v5e at
+    640x192x12x3: XLA 42.9 ms, v1 8.7, v3 5.9, v4 3.9, v6 ~3.5 ms/warp.
     """
     b, h, w, c = image.shape
     img = image.astype(jnp.float32)
@@ -558,7 +669,7 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
         blk_min = (jnp.min(y_blk, axis=2) // 8) * 8  # (B, H//RB)
         blk_max = jnp.max(y_blk, axis=2)
         if version >= 4:
-            # v4/v5 additionally need every x-tap within one group of its
+            # v4/v5/v6 additionally need every x-tap within one group of its
             # output column (|x - col| < LANE); otherwise fall back to the
             # cond-guarded v3 kernel before the XLA path
             col_group = (jnp.arange(w) // LANE)[None, None, :]
@@ -566,7 +677,7 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
             shift_ok = jnp.logical_and(
                 jnp.all(gdiff >= -1),
                 jnp.all((x0i + 1) // LANE - col_group <= 1))
-            rungs = [(version, True), (3, False)]
+            rungs = [(4 if version == 6 else version, True), (3, False)]
         else:
             rungs = [(version, False)]
         band_h = min(BAND_H, h)
@@ -582,6 +693,29 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
             tail = functools.partial(
                 lambda ok_, fast_, tail_, _: jax.lax.cond(
                     ok_, fast_, tail_, operand=None), ok, fast, tail)
+
+        if (version == 6 and image.dtype == jnp.uint8 and h % RBP == 0
+                and h >= band_h):
+            # channel-packed top rung: uint8 sources only (bf16 corners are
+            # exact for raw 0..255 values)
+            yb6 = y0i.reshape(b, h // RBP, RBP * w)
+            m6 = jnp.clip((jnp.min(yb6, axis=2) // 8) * 8, 0, h - band_h)
+            ok6 = jnp.all(jnp.max(yb6, axis=2) + 1 - m6 <= band_h - 1)
+            ok6 = jnp.logical_and(ok6, shift_ok)
+            yl6 = jnp.clip(y0i - jnp.repeat(m6, RBP, axis=1)[..., None],
+                           0, band_h - 2)
+
+            def fast6(_):
+                raw = jnp.moveaxis(image.astype(jnp.float32), -1, 1
+                                   ).reshape(b, c * h, w)
+                v = _fetch_corners_packed(raw, x0i, yl6, m6[..., None],
+                                          band_h, interpret=interpret)
+                return tuple(a.reshape(b, c, h, w).astype(jnp.float32)
+                             * (1.0 / 255.0) for a in v)
+
+            tail = functools.partial(
+                lambda ok_, fast_, tail_, _: jax.lax.cond(
+                    ok_, fast_, tail_, operand=None), ok6, fast6, tail)
         v00, v01, v10, v11 = tail(None)
     v00, v01, v10, v11 = jax.lax.stop_gradient((v00, v01, v10, v11))
 
