@@ -147,6 +147,32 @@ def test_fsdp_mesh_matches_single_device():
                                atol=1e-6)
 
 
+def test_grad_accum_matches_single_pass():
+    """grad_accum=2 on a batch whose halves are identical must produce the
+    same loss and parameter update as one full pass (identical halves make
+    microbatch BN statistics equal to full-batch statistics)."""
+    cfg1 = tiny_cfg(batch_size=4, disable_automasking=True)
+    bundle1, state = make_all(cfg1)
+    half = synth_batch(cfg1, n=2)
+    batch = {k: np.concatenate([v, v], 0) for k, v in half.items()}
+
+    step1 = build_train_step(bundle1, donate=False)
+    s1, l1 = step1(state, batch, jax.random.PRNGKey(0))
+
+    cfg2 = tiny_cfg(batch_size=4, grad_accum=2,
+                    disable_automasking=True)
+    bundle2 = ModelBundle.create(cfg2)
+    step2 = build_train_step(bundle2, donate=False)
+    s2, l2 = step2(state, batch, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(l1["loss"]), float(l2["loss"]),
+                               rtol=1e-5)
+    a = jax.tree_util.tree_leaves(s1.params)[0]
+    b = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-7)
+
+
 def test_eval_step_is_pure():
     cfg = tiny_cfg()
     bundle, state = make_all(cfg)

@@ -106,6 +106,9 @@ class Options:
     compute_dtype: str = "bfloat16"  # conv compute precision on the MXU
     mesh_data: int = -1  # data-parallel axis size; -1 = all devices
     mesh_fsdp: int = 1   # parameter-sharding axis size
+    grad_accum: int = 1  # microbatches per optimizer step (memory / multi-
+    # slice scale-out: keeps per-device microbatches small while growing the
+    # effective batch)
     prefetch: int = 2    # host->HBM pipeline depth
     seed: int = 0
     log_jsonl: bool = True
@@ -157,6 +160,9 @@ class Options:
             # generator prior (intent of trainer.py:93-106)
             assert self.pre_trained_generator, (
                 "--adversarial_prior requires --pre_trained_generator")
+        assert self.grad_accum >= 1 and \
+            self.batch_size % self.grad_accum == 0, (
+                "batch_size must be divisible by grad_accum")
         return self
 
     def to_json(self) -> str:

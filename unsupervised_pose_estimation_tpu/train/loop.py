@@ -66,11 +66,12 @@ class Trainer:
 
         self.mesh = make_mesh(cfg.mesh_data, cfg.mesh_fsdp)
         n_dev = self.mesh.size
-        if cfg.batch_size % n_dev != 0:
+        if cfg.batch_size % (n_dev * cfg.grad_accum) != 0:
             raise ValueError(
-                f"batch_size ({cfg.batch_size}) must be divisible by the "
-                f"mesh size ({n_dev} devices = mesh_data x mesh_fsdp); set "
-                f"--batch_size or shrink the mesh with --mesh_data")
+                f"batch_size ({cfg.batch_size}) must be divisible by "
+                f"mesh size x grad_accum ({n_dev} devices x "
+                f"{cfg.grad_accum}); adjust --batch_size / --mesh_data / "
+                f"--grad_accum")
         self.batch_sharding = batch_sharding(self.mesh)
 
         self.bundle = ModelBundle.create(cfg)

@@ -403,6 +403,8 @@ def build_train_step(bundle: ModelBundle, tx: Optional[
     """
     tx = tx or make_optimizer(bundle.cfg.learning_rate)
 
+    accum = bundle.cfg.grad_accum
+
     def step(state: TrainState, batch, rng):
         # Derive the per-step key on device from the step counter, so the
         # caller passes ONE base key every iteration: no host-side
@@ -412,13 +414,37 @@ def build_train_step(bundle: ModelBundle, tx: Optional[
         # free from the checkpointed step.
         rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(params):
-            return forward_and_loss(bundle, params, state.batch_stats,
-                                    state.frozen, batch, rng, train=True,
-                                    mesh=mesh)
+        def loss_fn(params, stats, mb, key):
+            return forward_and_loss(bundle, params, stats, state.frozen,
+                                    mb, key, train=True, mesh=mesh)
 
-        grads, (losses, _, new_stats) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
+        if accum == 1:
+            grads, (losses, _, new_stats) = jax.grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                       batch, rng)
+        else:
+            # gradient accumulation: scan over microbatches (the global
+            # batch's leading axis split accum-ways), averaging grads; BN
+            # stats thread through the carry. One optimizer update per step.
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum, x.shape[0] // accum)
+                                    + x.shape[1:]), batch)
+
+            def body(carry, inp):
+                stats, grad_acc, k = carry
+                mb, idx = inp
+                g, (losses_i, _, stats_i) = jax.grad(
+                    loss_fn, has_aux=True)(state.params, stats, mb,
+                                           jax.random.fold_in(k, idx))
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, g)
+                return (stats_i, grad_acc, k), losses_i
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (new_stats, grads, _), losses_seq = jax.lax.scan(
+                body, (state.batch_stats, zero_grads, rng),
+                (micro, jnp.arange(accum)))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            losses = jax.tree_util.tree_map(jnp.mean, losses_seq)
         # gradient observability (the wandb.watch analogue,
         # wandb_logging.py:48-52) — free inside the compiled step
         losses["grad_norm"] = optax.global_norm(grads)
