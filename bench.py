@@ -82,23 +82,30 @@ def main():
     }
     batch = jax.device_put(batch)
 
-    step = build_train_step(bundle)
     key = jax.random.PRNGKey(1)  # per-step keys derive on device from
     # state.step (see train/step.py) - no host-side splits in the hot loop
-    for i in range(WARMUP):
-        state, losses = step(state, batch, key)
-    float(losses["loss"])  # value fetch: the only reliable device sync on
-    # the experimental axon backend (block_until_ready returns early there)
 
-    # analytic FLOPs of one step for the MFU row (XLA's own cost model)
+    # ONE compile total: AOT-lower the step and reuse the same executable for
+    # the MFU cost analysis and the timed loop. A full-step compile takes
+    # minutes on this 1-core host, so compiling twice (jit + a separate
+    # lower().compile() for FLOPs) doubled the bench's startup cost.
+    compiled = build_train_step(bundle).lower(state, batch, key).compile()
     step_flops = None
     try:
-        cost = step.lower(state, batch, key).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         step_flops = float(cost.get("flops", 0.0)) or None
     except Exception:
         pass
+
+    def step(state, batch, key):
+        return compiled(state, batch, key)
+
+    for i in range(WARMUP):
+        state, losses = step(state, batch, key)
+    float(losses["loss"])  # value fetch: the only reliable device sync on
+    # the experimental axon backend (block_until_ready returns early there)
 
     # several timing windows: the pooled chip shows heavy bursty external
     # contention (up to ~4x window spread); best window = capability

@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--num_workers", type=int, default=8)
     ap.add_argument("--root", default="/tmp/pipeline_bench_data")
+    ap.add_argument("--cache", action="store_true",
+                    help="serve frames from the pre-decoded uint8 cache "
+                         "(data/cache.py) instead of decoding PNGs")
+    ap.add_argument("--host_only", action="store_true",
+                    help="skip the TPU step; measure item assembly alone")
     args = ap.parse_args()
 
     import jax
@@ -54,8 +59,30 @@ def main():
                   weights_init="scratch").validate()
     ds = LungRAWDataset(args.root, files, height=H, width=W,
                         frame_idxs=[0, -1, 1], is_train=True)
+    if args.cache:
+        from unsupervised_pose_estimation_tpu.data.cache import \
+            attach_frame_cache
+        attach_frame_cache(ds, os.path.join(args.root, "cache_640x192"),
+                           build_if_missing=True)
     loader = Loader(ds, B, shuffle=True, num_workers=args.num_workers,
                     prefetch=2, infinite=True)
+
+    if args.host_only:
+        it = iter(loader.epoch(0))
+        next(it)  # warm the pool
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(args.steps):
+            next(it)
+            n += B
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "host_items_per_sec", "value": round(n / dt, 2),
+            "unit": "items/s", "cache": args.cache,
+            "ms_per_item": round(1000 * dt / n, 2),
+            "num_workers": args.num_workers, "host_cores": os.cpu_count(),
+        }))
+        return
 
     bundle = ModelBundle.create(cfg)
     state = create_train_state(bundle, jax.random.PRNGKey(0),

@@ -132,3 +132,62 @@ def test_loader_propagates_worker_errors():
     loader = Loader(ds, batch_size=4, num_workers=2)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader.epoch(0))
+
+
+def test_frame_cache_items_bit_identical(lung_tree, tmp_path):
+    """Cached items must be indistinguishable from disk items: same mmap
+    pixels through the same PIL flip/augment path, same per-item RNG."""
+    from unsupervised_pose_estimation_tpu.data.cache import (
+        attach_frame_cache, build_frame_cache, enumerate_frames)
+
+    data_path, lines = lung_tree
+    mk = lambda: LungRAWDataset(data_path, lines, height=32, width=32,
+                                frame_idxs=[0, -1, 1], is_train=True,
+                                sampling_frequency=2, seed=3)
+    disk_ds, cached_ds = mk(), mk()
+    cache_dir = str(tmp_path / "cache")
+    stats = build_frame_cache(cached_ds, cache_dir)
+    assert stats["skipped"] == 0
+    assert stats["rows"] == len(enumerate_frames(cached_ds))
+    attach_frame_cache(cached_ds, cache_dir)
+    for idx in (0, 5, len(lines) - 1):
+        for epoch in (0, 1):
+            a = disk_ds.get_item(idx, epoch)
+            b = cached_ds.get_item(idx, epoch)
+            for key in a:
+                np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+
+def test_frame_cache_miss_falls_back_to_disk(lung_tree, tmp_path):
+    from unsupervised_pose_estimation_tpu.data.cache import (
+        attach_frame_cache, build_frame_cache)
+
+    data_path, lines = lung_tree
+    # cache built over a PREFIX of the split: later items miss -> disk path
+    ds_small = LungRAWDataset(data_path, lines[:4], height=32, width=32,
+                              frame_idxs=[0, -1, 1], is_train=False)
+    cache_dir = str(tmp_path / "cache")
+    build_frame_cache(ds_small, cache_dir)
+    ds = LungRAWDataset(data_path, lines, height=32, width=32,
+                        frame_idxs=[0, -1, 1], is_train=False)
+    attach_frame_cache(ds, cache_dir)
+    item = ds.get_item(len(lines) - 1)
+    ref = LungRAWDataset(data_path, lines, height=32, width=32,
+                         frame_idxs=[0, -1, 1],
+                         is_train=False).get_item(len(lines) - 1)
+    np.testing.assert_array_equal(item["color"], ref["color"])
+
+
+def test_frame_cache_resolution_mismatch_raises(lung_tree, tmp_path):
+    from unsupervised_pose_estimation_tpu.data.cache import (
+        attach_frame_cache, build_frame_cache)
+
+    data_path, lines = lung_tree
+    ds32 = LungRAWDataset(data_path, lines, height=32, width=32,
+                          frame_idxs=[0], is_train=False)
+    cache_dir = str(tmp_path / "cache")
+    build_frame_cache(ds32, cache_dir)
+    ds64 = LungRAWDataset(data_path, lines, height=64, width=64,
+                          frame_idxs=[0], is_train=False)
+    with pytest.raises(ValueError, match="rebuild"):
+        attach_frame_cache(ds64, cache_dir)

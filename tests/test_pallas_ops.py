@@ -39,7 +39,7 @@ def test_reproj_loss_kernel_gradients(rng_np):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-@pytest.mark.parametrize("version", [1, 2, 3, 4, 6])
+@pytest.mark.parametrize("version", [1, 2, 3, 4, 6, 7])
 def test_banded_warp_kernel_matches_reference(rng_np, version):
     """grid_sample_fast (interpret mode): fast path, fallback path, and
     coordinate gradients must match ops.warp.grid_sample exactly."""
@@ -79,7 +79,7 @@ def test_banded_warp_kernel_matches_reference(rng_np, version):
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=1e-5)
 
 
-@pytest.mark.parametrize("version", [1, 2, 3, 4, 6])
+@pytest.mark.parametrize("version", [1, 2, 3, 4, 6, 7])
 def test_banded_warp_kernel_uint8(rng_np, version):
     from unsupervised_pose_estimation_tpu.ops.pallas.warp_kernel import \
         grid_sample_fast

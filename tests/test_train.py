@@ -218,3 +218,37 @@ def test_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert int(restored.step) == 1
+
+
+def test_dcn_mesh_matches_single_device():
+    """Full 3-axis (dcn=2, data=2, fsdp=2) mesh — the multi-slice scale-out
+    layout — is numerically identical to the unsharded step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from unsupervised_pose_estimation_tpu.parallel.mesh import param_sharding
+
+    cfg = tiny_cfg(batch_size=8, mesh_fsdp=2, mesh_dcn=2)
+    bundle, state = make_all(cfg)
+    step = build_train_step(bundle, donate=False)
+    batch = synth_batch(cfg)
+    state_single, losses_single = step(state, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(2, 2, dcn=2)
+    assert dict(mesh.shape) == {"dcn": 2, "data": 2, "fsdp": 2}
+    repl = NamedSharding(mesh, P())
+    sharded_state = state.replace(
+        params=jax.device_put(state.params, param_sharding(mesh,
+                                                           state.params)),
+        batch_stats=jax.device_put(state.batch_stats, repl),
+        frozen=jax.device_put(state.frozen, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+        step=jax.device_put(state.step, repl))
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+    state_dcn, losses_dcn = step(sharded_state, sharded_batch,
+                                 jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(losses_single["loss"]),
+                               float(losses_dcn["loss"]), rtol=1e-4)
+    a = jax.tree_util.tree_leaves(state_single.params)[0]
+    b = jax.tree_util.tree_leaves(state_dcn.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-6)

@@ -106,10 +106,15 @@ class Options:
     compute_dtype: str = "bfloat16"  # conv compute precision on the MXU
     mesh_data: int = -1  # data-parallel axis size; -1 = all devices
     mesh_fsdp: int = 1   # parameter-sharding axis size
+    mesh_dcn: int = 1    # across-slice data-parallel axis (multi-slice
+    # scale-out; outer axis rides DCN, inner axes stay on ICI)
     grad_accum: int = 1  # microbatches per optimizer step (memory / multi-
     # slice scale-out: keeps per-device microbatches small while growing the
     # effective batch)
     prefetch: int = 2    # host->HBM pipeline depth
+    frame_cache: Optional[str] = None  # dir of pre-decoded uint8 frames
+    # (data/cache.py); built on first use when missing. Lifts the PNG-decode
+    # host bottleneck (~10x per-item cost on 1-core hosts)
     seed: int = 0
     log_jsonl: bool = True
     profile_dir: Optional[str] = None  # write XProf traces here if set

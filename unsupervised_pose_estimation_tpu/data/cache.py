@@ -1,0 +1,136 @@
+"""Pre-decoded frame cache: one memory-mapped uint8 array per dataset.
+
+PNG decode + LANCZOS resize dominate the host side of training: the disk
+pipeline measured 16 frames/s on one core (scripts/bench_pipeline.py)
+against a ~100 frames/s device step, so the host, not the TPU, sets the
+training rate on worker-poor machines. The reference re-decodes every PNG
+every epoch inside a worker-less DataLoader
+(`/root/reference/datasets/mono_dataset2.py:160-165`, loader construction
+`/root/reference/trainer.py:220-222`); there is nothing to port — this is
+new host engineering for the TPU input pipeline.
+
+Design: a one-time offline pass decodes every frame a dataset can reference
+at feed resolution into a single ``(N, H, W, 3)`` uint8 ``.npy`` (written
+via ``open_memmap`` so readers can map it without loading) plus a JSON
+index ``{folder|frame|side: row}``. Per-item work drops to an O(memcpy)
+mmap read; the draw-dependent parts (geometric flip, photometric jitter)
+stay per-item and operate on the cached pixels through the exact same PIL
+code path as the disk route, so cached and uncached items are bit-identical
+(tests/test_data.py asserts this).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .split import parse_split_line
+
+FRAMES_FILE = "frames_u8.npy"
+INDEX_FILE = "index.json"
+
+_OTHER_SIDE = {"r": "l", "l": "r"}
+
+
+def frame_key(folder: str, frame_index: int, side: Optional[str]) -> str:
+    return f"{folder}|{frame_index}|{side}"
+
+
+def enumerate_frames(dataset) -> list:
+    """Every (folder, frame_index, side) the dataset's items can touch:
+    the temporal window fi + i*sampling_frequency per split line, plus the
+    opposite-side frame for stereo items."""
+    seen, keys = set(), []
+    for line in dataset.filenames:
+        folder, fi, side = parse_split_line(line)
+        for i in dataset.frame_idxs:
+            if i == "s":
+                key = (folder, fi, _OTHER_SIDE[side])
+            else:
+                key = (folder, fi + int(i) * dataset.sampling_frequency,
+                       side)
+            if key not in seen:
+                seen.add(key)
+                keys.append(key)
+    return keys
+
+
+def build_frame_cache(dataset, cache_dir: str, log=None) -> dict:
+    """Decode every reachable frame once and write the cache.
+
+    Frames whose source file is missing are skipped (items touching them
+    fall back to the disk path at runtime). Returns summary stats.
+    """
+    keys = enumerate_frames(dataset)
+    h, w = dataset.height, dataset.width
+    os.makedirs(cache_dir, exist_ok=True)
+    arr = np.lib.format.open_memmap(
+        os.path.join(cache_dir, FRAMES_FILE), mode="w+", dtype=np.uint8,
+        shape=(len(keys), h, w, 3))
+    index = {}
+    row = 0
+    skipped = 0
+    for folder, fi, side in keys:
+        try:
+            img = dataset.load_frame(folder, fi, side)
+        except (FileNotFoundError, OSError):
+            skipped += 1
+            continue
+        arr[row] = np.asarray(img.resize((w, h), _lanczos()), np.uint8)
+        index[frame_key(folder, fi, side)] = row
+        row += 1
+        if log is not None and row % 500 == 0:
+            log(f"frame cache: {row}/{len(keys)} decoded")
+    arr.flush()
+    meta = {"height": h, "width": w, "rows": row, "skipped": skipped,
+            "dataset": type(dataset).__name__, "index": index}
+    with open(os.path.join(cache_dir, INDEX_FILE), "w") as f:
+        json.dump(meta, f)
+    if log is not None:
+        log(f"frame cache: {row} frames ({skipped} missing skipped) -> "
+            f"{cache_dir}")
+    return {"rows": row, "skipped": skipped}
+
+
+def _lanczos():
+    from PIL import Image
+    return Image.LANCZOS
+
+
+class FrameCache:
+    """Read side: mmap the frame array, resolve (folder, frame, side) keys."""
+
+    def __init__(self, cache_dir: str):
+        with open(os.path.join(cache_dir, INDEX_FILE)) as f:
+            meta = json.load(f)
+        self.height = int(meta["height"])
+        self.width = int(meta["width"])
+        self.index = meta["index"]
+        self.frames = np.load(os.path.join(cache_dir, FRAMES_FILE),
+                              mmap_mode="r")
+
+    def get(self, folder: str, frame_index: int,
+            side: Optional[str]) -> Optional[np.ndarray]:
+        row = self.index.get(frame_key(folder, frame_index, side))
+        if row is None:
+            return None
+        return np.asarray(self.frames[row])  # one-copy materialize
+
+
+def attach_frame_cache(dataset, cache_dir: str,
+                       build_if_missing: bool = False):
+    """Point a MonoDataset at a cache; its load_resized hook then serves
+    cache hits from the mmap and falls back to disk on misses."""
+    if build_if_missing and not os.path.isfile(
+            os.path.join(cache_dir, INDEX_FILE)):
+        build_frame_cache(dataset, cache_dir)
+    cache = FrameCache(cache_dir)
+    if (cache.height, cache.width) != (dataset.height, dataset.width):
+        raise ValueError(
+            f"frame cache is {cache.width}x{cache.height} but the dataset "
+            f"feeds {dataset.width}x{dataset.height}; rebuild the cache")
+    dataset.frame_cache = cache
+    return dataset

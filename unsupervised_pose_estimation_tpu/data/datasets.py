@@ -65,6 +65,7 @@ class MonoDataset:
         # (mono_dataset2.py:101); opt-in here.
         self.load_depth = load_depth and self.check_depth()
         self.seed = seed
+        self.frame_cache = None  # set by data.cache.attach_frame_cache
 
     # -- subclass hooks ------------------------------------------------
     def get_image_path(self, folder: str, frame_index: int,
@@ -80,6 +81,17 @@ class MonoDataset:
     def load_frame(self, folder: str, frame_index: int,
                    side: Optional[str]) -> Image.Image:
         return pil_loader(self.get_image_path(folder, frame_index, side))
+
+    def load_resized(self, folder: str, frame_index: int,
+                     side: Optional[str]) -> Image.Image:
+        """Feed-resolution frame; serves from the pre-decoded mmap cache
+        when one is attached (data.cache), decode+resize otherwise."""
+        if self.frame_cache is not None:
+            arr = self.frame_cache.get(folder, frame_index, side)
+            if arr is not None:
+                return Image.fromarray(arr)
+        img = self.load_frame(folder, frame_index, side)
+        return img.resize((self.width, self.height), _LANCZOS)
 
     # ------------------------------------------------------------------
     def __len__(self):
@@ -100,12 +112,11 @@ class MonoDataset:
         for i in self.frame_idxs:
             if i == "s":
                 other_side = {"r": "l", "l": "r"}[side]
-                img = self.load_frame(folder, frame_index, other_side)
+                img = self.load_resized(folder, frame_index, other_side)
             else:
                 # stride: frame_index + i*sampling (mono_dataset2.py:165)
-                img = self.load_frame(
+                img = self.load_resized(
                     folder, frame_index + i * self.sampling_frequency, side)
-            img = img.resize((self.width, self.height), _LANCZOS)
             if do_flip:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
             # ship uint8: 4x less host->HBM traffic; the train step

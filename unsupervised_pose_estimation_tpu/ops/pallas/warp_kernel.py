@@ -521,6 +521,115 @@ def _corner_kernel_v6(h: int, w: int, c: int, band_h: int, src_ref, x0_ref,
     jax.lax.fori_loop(0, h // RBP, block_body, 0)
 
 
+MB7 = 16  # v7 miniband rows per (output row, column chunk); 8-aligned start
+
+
+def _corner_kernel_v7(h: int, w: int, c: int, src_ref, x0_ref, yl_ref,
+                      ymin_ref, v00_ref, v01_ref, v10_ref, v11_ref):
+    """v7: v6's channel packing + per-(output row, column chunk) 16-row
+    minibands. The masked y-reduction shrinks from (C*40, 128) tiles to
+    (C*16, 128) — 2.5x less VPU work on the dominant ops — at the price of
+    per-row dynamic slices of the source (scalar 8-aligned starts from
+    SMEM). Group window is v4's static {c-1, c, c+1}; corner rows accumulate
+    over groups on (C, 128) tiles and merge into the (RBP, LANE) output
+    block once per row.
+
+    src: (C*H, W) f32 raw-u8-valued; x0: (H, W) i32; yl: (H, W) i32 y-tap
+    LOCAL to the row+chunk's miniband; ymin: (H, W//LANE) i32 SMEM;
+    outs: 4x (C*H, W) bf16.
+    """
+    n_groups = w // LANE
+    cb = c * MB7
+
+    def block_body(rb, _):
+        r16 = pl.multiple_of(rb * RBP, RBP)
+        x0_blk = x0_ref[pl.ds(r16, RBP), :]  # (RBP, W)
+        yl_blk = yl_ref[pl.ds(r16, RBP), :]
+
+        rows_local = jax.lax.broadcasted_iota(
+            jnp.int32, (cb, LANE), 0) % MB7
+        sel_rows = jax.lax.broadcasted_iota(jnp.int32, (RBP, LANE), 0)
+
+        for cc in range(n_groups):  # output column chunks
+            cs = slice(cc * LANE, (cc + 1) * LANE)
+            x0c = x0_blk[:, cs]  # (RBP, 128)
+            ylc = yl_blk[:, cs]
+            x1c = x0c + 1
+            g0 = x0c // LANE
+            g1 = x1c // LANE
+
+            zeros16 = jnp.zeros((RBP, LANE), jnp.float32)
+            outs = [[zeros16] * c for _ in range(4)]
+            for i in range(RBP):
+                start = pl.multiple_of(ymin_ref[r16 + i, cc], 8)
+                m0 = rows_local == ylc[i:i + 1]
+                m1 = rows_local == ylc[i:i + 1] + 1
+                w0 = jnp.broadcast_to(x0c[i:i + 1] % LANE, (cb, LANE))
+                w1 = jnp.broadcast_to(x1c[i:i + 1] % LANE, (cb, LANE))
+                acc = [jnp.zeros((c, LANE), jnp.float32) for _ in range(4)]
+                for g in range(max(0, cc - 1), min(n_groups, cc + 2)):
+                    band = jnp.concatenate(
+                        [src_ref[pl.ds(ch * h + start, MB7),
+                                 g * LANE:(g + 1) * LANE]
+                         for ch in range(c)], axis=0)  # (C*MB7, 128)
+                    part0 = jnp.take_along_axis(band, w0, axis=1)
+                    part1 = jnp.take_along_axis(band, w1, axis=1)
+                    s0 = jnp.broadcast_to(g0[i:i + 1] == g, (cb, LANE))
+                    s1 = jnp.broadcast_to(g1[i:i + 1] == g, (cb, LANE))
+                    acc[0] += jnp.sum(jnp.where(m0 & s0, part0, 0.0
+                                                ).reshape(c, MB7, LANE), 1)
+                    acc[1] += jnp.sum(jnp.where(m0 & s1, part1, 0.0
+                                                ).reshape(c, MB7, LANE), 1)
+                    acc[2] += jnp.sum(jnp.where(m1 & s0, part0, 0.0
+                                                ).reshape(c, MB7, LANE), 1)
+                    acc[3] += jnp.sum(jnp.where(m1 & s1, part1, 0.0
+                                                ).reshape(c, MB7, LANE), 1)
+                sel = sel_rows == i
+                for k in range(4):
+                    for ch in range(c):
+                        outs[k][ch] = outs[k][ch] + jnp.where(
+                            sel, acc[k][ch:ch + 1], 0.0)
+
+            for ch in range(c):
+                sl = (pl.ds(ch * h + r16, RBP), cs)
+                v00_ref[sl] = outs[0][ch].astype(jnp.bfloat16)
+                v01_ref[sl] = outs[1][ch].astype(jnp.bfloat16)
+                v10_ref[sl] = outs[2][ch].astype(jnp.bfloat16)
+                v11_ref[sl] = outs[3][ch].astype(jnp.bfloat16)
+        return 0
+
+    jax.lax.fori_loop(0, h // RBP, block_body, 0)
+
+
+def _fetch_corners_packed_v7(src, x0i, yl, ymin, interpret=False):
+    """src (B, C*H, W) raw-u8-valued f32; x0i/yl (B, H, W) i32;
+    ymin (B, H, W//LANE) i32 -> 4 corner arrays (B, C*H, W) bf16."""
+    b, ch_, w = src.shape
+    h = x0i.shape[1]
+    c = ch_ // h
+    kernel = functools.partial(_corner_kernel_v7, h, w, c)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, ch_, w), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((None, h, w // LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((None, ch_, w), lambda i: (i, 0, 0),
+                         memory_space=vm)
+            for _ in range(4)),
+        out_shape=tuple(jax.ShapeDtypeStruct((b, ch_, w), jnp.bfloat16)
+                        for _ in range(4)),
+        interpret=interpret,
+    )(src, x0i, yl, ymin)
+
+
 def _fetch_corners_packed(src, x0i, yl, ymin, band_h, interpret=False):
     """src (B, C*H, W) raw-u8-valued f32; x0i/yl (B, H, W) i32;
     ymin (B, H//RBP, 1) i32 -> 4 corner arrays (B, C*H, W) bf16."""
@@ -677,7 +786,7 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
             shift_ok = jnp.logical_and(
                 jnp.all(gdiff >= -1),
                 jnp.all((x0i + 1) // LANE - col_group <= 1))
-            rungs = [(4 if version == 6 else version, True), (3, False)]
+            rungs = [(4 if version >= 6 else version, True), (3, False)]
         else:
             rungs = [(version, False)]
         band_h = min(BAND_H, h)
@@ -694,6 +803,27 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
                 lambda ok_, fast_, tail_, _: jax.lax.cond(
                     ok_, fast_, tail_, operand=None), ok, fast, tail)
 
+        if (version == 7 and image.dtype == jnp.uint8 and h % RBP == 0
+                and h >= MB7):
+            # per-(row, chunk) miniband top rung: uint8 sources only (bf16
+            # corners are exact for raw 0..255 values)
+            yb7 = y0i.reshape(b, h, w // LANE, LANE)
+            m7 = jnp.clip((jnp.min(yb7, axis=3) // 8) * 8, 0, h - MB7)
+            ok7 = jnp.all(jnp.max(yb7, axis=3) + 1 - m7 <= MB7 - 1)
+            ok7 = jnp.logical_and(ok7, shift_ok)
+            yl7 = jnp.clip(y0i - jnp.repeat(m7, LANE, axis=2), 0, MB7 - 2)
+
+            def fast7(_):
+                raw = jnp.moveaxis(image.astype(jnp.float32), -1, 1
+                                   ).reshape(b, c * h, w)
+                v = _fetch_corners_packed_v7(raw, x0i, yl7, m7,
+                                             interpret=interpret)
+                return tuple(a.reshape(b, c, h, w).astype(jnp.float32)
+                             * (1.0 / 255.0) for a in v)
+
+            tail = functools.partial(
+                lambda ok_, fast_, tail_, _: jax.lax.cond(
+                    ok_, fast_, tail_, operand=None), ok7, fast7, tail)
         if (version == 6 and image.dtype == jnp.uint8 and h % RBP == 0
                 and h >= band_h):
             # channel-packed top rung: uint8 sources only (bf16 corners are

@@ -1,1 +1,2 @@
-from .mesh import batch_sharding, make_mesh, param_sharding  # noqa: F401
+from .mesh import (batch_axes, batch_sharding, make_mesh,  # noqa: F401
+                   param_sharding)

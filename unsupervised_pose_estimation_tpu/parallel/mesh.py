@@ -2,16 +2,23 @@
 
 The reference has no distributed layer at all (single CUDA device,
 `/root/reference/trainer.py:83`; SURVEY.md §2 parallelism census). This module
-is the new first-class component: a 2-axis mesh
+is the new first-class component: a 3-axis mesh
 
-    ("data", "fsdp")
+    ("dcn", "data", "fsdp")
 
-where the global batch is sharded over "data" (pure data parallelism — the
-right strategy for these small CNNs) and, optionally, parameters are sharded
-over "fsdp" on their widest divisible axis for memory scaling. Everything is
-expressed as shardings on a single jitted train step: XLA inserts the gradient
-all-reduces (psum over ICI) and any fsdp all-gathers — no hand-written
-collectives.
+where the global batch is sharded over "dcn" x "data" (pure data parallelism —
+the right strategy for these small CNNs) and, optionally, parameters are
+sharded over "fsdp" on their widest divisible axis for memory scaling.
+Everything is expressed as shardings on a single jitted train step: XLA
+inserts the gradient all-reduces (psum over ICI, hierarchical over DCN for
+the outer axis) and any fsdp all-gathers — no hand-written collectives.
+
+Multi-slice: "dcn" is the across-slice axis. On real multi-slice TPU the
+device array is built with `mesh_utils.create_hybrid_device_mesh` so the
+outer axis maps onto the data-center network and the inner axes stay on ICI;
+XLA then reduces gradients hierarchically (reduce-scatter on ICI, small
+all-reduce over DCN). Combine with --grad_accum to keep the DCN all-reduce
+amortized over larger effective batches.
 """
 
 from __future__ import annotations
@@ -22,28 +29,46 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+AXES = ("dcn", "data", "fsdp")
+
 
 def make_mesh(data: int = -1, fsdp: int = 1,
-              devices: Optional[list] = None) -> Mesh:
+              devices: Optional[list] = None, dcn: int = 1) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        data = n // fsdp
-    if data * fsdp > n:
-        raise ValueError(f"mesh {data}x{fsdp} needs more than {n} devices")
-    # an explicit smaller mesh uses a device subset (e.g. --mesh_data 1 to
-    # debug single-device on a multi-chip host)
-    dev_array = np.asarray(devices[: data * fsdp]).reshape(data, fsdp)
-    return Mesh(dev_array, axis_names=("data", "fsdp"))
+        data = n // (fsdp * dcn)
+    if data * fsdp * dcn > n:
+        raise ValueError(
+            f"mesh {dcn}x{data}x{fsdp} needs more than {n} devices")
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if dcn > 1 and len(slice_ids) == dcn:
+        # real multi-slice topology: outer axis over DCN, inner over ICI
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            (1, data, fsdp), (dcn, 1, 1), devices=devices)
+    else:
+        # single slice / virtual devices: an explicit smaller mesh uses a
+        # device subset (e.g. --mesh_data 1 to debug single-device on a
+        # multi-chip host)
+        dev_array = np.asarray(devices[: data * fsdp * dcn]).reshape(
+            dcn, data, fsdp)
+    return Mesh(dev_array, axis_names=AXES)
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the global batch's leading dim is sharded over: always
+    dcn x data; fsdp too when used (every device then holds distinct
+    examples)."""
+    axes = ["dcn", "data"]
+    if mesh.shape["fsdp"] > 1:
+        axes.append("fsdp")
+    return tuple(axes)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batches shard their leading axis over the data axis; with fsdp > 1 the
-    batch is also split over fsdp (flattened into the leading axis) so every
-    device holds distinct examples."""
-    if mesh.shape["fsdp"] > 1:
-        return NamedSharding(mesh, P(("data", "fsdp")))
-    return NamedSharding(mesh, P("data"))
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -51,9 +76,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
-    """Per-leaf sharding: replicate on "data"; if fsdp > 1, shard each leaf's
-    largest fsdp-divisible axis (weight-sharded data parallelism — XLA emits
-    the all-gathers where full parameters are consumed)."""
+    """Per-leaf sharding: replicate on "dcn"/"data"; if fsdp > 1, shard each
+    leaf's largest fsdp-divisible axis (weight-sharded data parallelism — XLA
+    emits the all-gathers where full parameters are consumed)."""
     fsdp = mesh.shape["fsdp"]
 
     def rule(leaf):

@@ -64,7 +64,8 @@ class Trainer:
         self.log_path = os.path.join(cfg.log_dir, cfg.model_name)
         os.makedirs(self.log_path, exist_ok=True)
 
-        self.mesh = make_mesh(cfg.mesh_data, cfg.mesh_fsdp)
+        self.mesh = make_mesh(cfg.mesh_data, cfg.mesh_fsdp,
+                              dcn=cfg.mesh_dcn)
         n_dev = self.mesh.size
         if cfg.batch_size % (n_dev * cfg.grad_accum) != 0:
             raise ValueError(
@@ -106,6 +107,17 @@ class Trainer:
             val_ds = make_dataset(cfg.dataset, data_path=cfg.data_path,
                                   filenames=val_files, is_train=False,
                                   load_depth=True, **common)
+            if cfg.frame_cache:
+                # pre-decoded uint8 frames (data/cache.py): built once per
+                # (split, resolution), then items cost a memcpy not a PNG
+                # decode. Train and val caches live side by side.
+                from ..data.cache import attach_frame_cache
+                attach_frame_cache(train_ds,
+                                   os.path.join(cfg.frame_cache, "train"),
+                                   build_if_missing=True)
+                attach_frame_cache(val_ds,
+                                   os.path.join(cfg.frame_cache, "val"),
+                                   build_if_missing=True)
 
         self.train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
                                    sharding=self.batch_sharding,

@@ -271,9 +271,9 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
                 # sharding matches parallel.mesh.batch_sharding
                 from jax.sharding import PartitionSpec as P
 
-                axes = (("data", "fsdp") if mesh.shape["fsdp"] > 1
-                        else ("data",))
-                spec = P(axes)
+                from ..parallel.mesh import batch_axes
+
+                spec = P(batch_axes(mesh))
                 return jax.shard_map(
                     lambda s, c: grid_sample_fast(s, c, planar_out=True),
                     mesh=mesh, in_specs=(spec, spec), out_specs=spec,
