@@ -55,8 +55,8 @@ def main():
     assert err < 1e-5
 
     import unsupervised_pose_estimation_tpu.ops.pallas.warp_kernel as wk
-    for version in (4, 6):
-        for band in ((40, 24) if version != 2 else (40,)):
+    for version in (4, 6, 7):
+        for band in ((40,) if version == 7 else (40, 24)):
             wk.BAND_H = band
             fn = jax.jit(lambda s, g, v=version: grid_sample_fast(
                 s, g, planar_out=True, version=v))

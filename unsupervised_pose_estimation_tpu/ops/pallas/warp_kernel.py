@@ -696,7 +696,7 @@ def _fetch_corners(src, x0i, yl, ymin, interpret=False, version=3,
 
 
 def grid_sample_fast(image, grid, interpret=False, planar_out=False,
-                     version=6):
+                     version=7):
     """Bilinear sample with torch grid_sample(border, align_corners=True)
     semantics; NO gradient to `image` (stop_gradient on the fetched corners;
     exact coordinate gradients through the lerp).
@@ -707,13 +707,14 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
     stays channel-planar (B, C, H, W) — the loss pipeline consumes planar,
     so the NHWC round-trip is skipped entirely.
 
-    Runtime dispatch ladder (default): the channel-packed cond-free v6
-    kernel for uint8 sources when both the y-band and the |x-shift|<128
-    window fit (typical depth+pose warps), else the per-plane v4, else the
-    cond-guarded v3 kernel for large horizontal motion (e.g. strong stereo
-    disparity), else the exact XLA patch-gather — large motion degrades
-    gracefully instead of falling off a cliff. Measured on 1x v5e at
-    640x192x12x3: XLA 42.9 ms, v1 8.7, v3 5.9, v4 3.9, v6 ~3.5 ms/warp.
+    Runtime dispatch ladder (default): the channel-packed per-(row, chunk)
+    miniband v7 kernel for uint8 sources when both the 16-row y-miniband
+    and the |x-shift|<128 window fit (typical depth+pose warps), else the
+    per-plane v4, else the cond-guarded v3 kernel for large motion (e.g.
+    strong stereo disparity or fast vertical pans), else the exact XLA
+    patch-gather — large motion degrades gracefully instead of falling off
+    a cliff. Measured on 1x v5e at 640x192x12x3: XLA 42.6 ms, v1 8.7,
+    v3 5.9, v4/v6 ~3.9, v7 2.84 ms/warp.
     """
     b, h, w, c = image.shape
     img = image.astype(jnp.float32)
