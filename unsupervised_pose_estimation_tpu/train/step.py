@@ -297,6 +297,19 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
     total_loss = 0.0
     gan_loss_total = 0.0
 
+    # Identity (automask) reprojection: with v1_multiscale off every scale
+    # compares the SAME full-res source/target pair (the reference recomputes
+    # identical values per scale, trainer.py:608-618) — compute once, reuse.
+    # The per-scale randn tie-break still differs per scale (it is added
+    # inside min_reprojection from a per-scale folded key).
+    identity_shared = None
+    if not cfg.disable_automasking and not cfg.v1_multiscale:
+        target_p0 = jnp.moveaxis(color[0], -1, 1)
+        identity_shared = jnp.concatenate([
+            reproj_fn(jnp.moveaxis(color[f_i], -1, 1), target_p0,
+                      use_ssim=not cfg.no_ssim)
+            for f_i in source_frames], axis=-1)
+
     for s in cfg.scales:
         source_scale = s if cfg.v1_multiscale else 0
         sh, sw = h // 2 ** source_scale, w // 2 ** source_scale
@@ -338,12 +351,10 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
                     warped_p, 1, -1)
             reprojs.append(
                 reproj_fn(warped_p, target_p, use_ssim=not cfg.no_ssim))
-            if not cfg.disable_automasking:
-                ident_src = (pyr[f_i][source_scale] if cfg.v1_multiscale
-                             else color[f_i])
+            if not cfg.disable_automasking and cfg.v1_multiscale:
                 identities.append(
-                    reproj_fn(jnp.moveaxis(ident_src, -1, 1), target_p,
-                              use_ssim=not cfg.no_ssim))
+                    reproj_fn(jnp.moveaxis(pyr[f_i][source_scale], -1, 1),
+                              target_p, use_ssim=not cfg.no_ssim))
 
         reproj = jnp.concatenate(reprojs, axis=-1)  # (B, H, W, S)
 
@@ -357,8 +368,8 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
             bce = -jnp.log(jnp.clip(mask, 1e-7, 1.0))
             loss_s += 0.2 * jnp.mean(bce)
 
-        identity = (jnp.concatenate(identities, axis=-1)
-                    if identities else None)
+        identity = (jnp.concatenate(identities, axis=-1) if identities
+                    else identity_shared)
         to_opt, automask = L.min_reprojection(
             reproj, identity, jax.random.fold_in(rng, s),
             avg_reprojection=cfg.avg_reprojection)
