@@ -98,6 +98,43 @@ def test_augment_draw_distribution():
                (AugmentParams.draw(rng, False) for _ in range(10)))
 
 
+def test_augment_hue_matches_torchvision_pil_semantics():
+    """Pin the hue shift to torchvision's PIL `_adjust_hue` algorithm
+    (torchvision.transforms.functional: HSV convert, uint8 H-channel add of
+    uint8(hue*255) with wraparound, convert back) so the aug distribution
+    matches the reference's ColorJitter on PIL images
+    (`/root/reference/datasets/mono_dataset2.py:91-96`). Oracle below is an
+    independent numpy re-statement of that algorithm."""
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(rng.integers(0, 256, size=(16, 16, 3),
+                                       dtype=np.uint8))
+    for hue in (-0.1, -0.05, 0.02, 0.1):
+        got = apply_augment(img, AugmentParams(enabled=True, hue=hue))
+        h, s, v = img.convert("HSV").split()
+        np_h = np.asarray(h, dtype=np.uint8).copy()
+        with np.errstate(over="ignore"):
+            np_h += np.uint8(np.int64(hue * 255) & 0xFF)  # wraparound add
+        oracle = Image.merge(
+            "HSV", (Image.fromarray(np_h, "L"), s, v)).convert("RGB")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(oracle))
+
+
+def test_augment_factor_ranges_match_reference():
+    """ColorJitter(0.8-1.2 brightness/contrast/saturation, +-0.1 hue) +
+    p=0.5 autocontrast (`mono_dataset2.py:91-96`)."""
+    rng = np.random.default_rng(1)
+    draws = [AugmentParams.draw(rng, True) for _ in range(800)]
+    on = [d for d in draws if d.enabled]
+    for field in ("brightness", "contrast", "saturation"):
+        vals = np.array([getattr(d, field) for d in on])
+        assert vals.min() >= 0.8 and vals.max() <= 1.2
+        assert vals.std() > 0.05  # actually spread across the range
+    hues = np.array([d.hue for d in on])
+    assert hues.min() >= -0.1 and hues.max() <= 0.1
+    ac = np.mean([d.autocontrast for d in on])
+    assert 0.4 < ac < 0.6
+
+
 def test_synthetic_dataset_translates_texture():
     ds = SyntheticDataset(4, 32, 48, [0, -1, 1], shift=2)
     item = ds.get_item(0)
