@@ -158,3 +158,33 @@ def test_resnet_encoder_train_mode_updates_stats():
     before = jax.tree_util.tree_leaves(variables["batch_stats"])
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_depth_decoder_packed_tail_matches_unpacked(rng_np):
+    """The packed (space-to-depth) level-0 tail is a pure layout change:
+    same parameter tree, same outputs as the plain path (f32 reduction-order
+    tolerance). Guards the MXU-packing optimization (ops.packed)."""
+    b, h, w = 2, 64, 96
+    widths = encoder_channels(18)
+    feats = [jnp.asarray(rng_np.normal(
+        size=(b, h // 2 ** (i + 1), w // 2 ** (i + 1), widths[i])),
+        jnp.float32) for i in range(5)]
+    plain = DepthDecoder(packed_tail=False)
+    packed = DepthDecoder(packed_tail=True)
+    variables = plain.init({"params": jax.random.PRNGKey(0)}, feats, False)
+    v2 = packed.init({"params": jax.random.PRNGKey(0)}, feats, False)
+    # identical tree (paths AND shapes) -> checkpoints are interchangeable
+    flat1 = jax.tree_util.tree_leaves_with_path(variables)
+    flat2 = jax.tree_util.tree_leaves_with_path(v2)
+    assert [(p, l.shape) for p, l in flat1] == [(p, l.shape) for p, l in flat2]
+    out_p = plain.apply(variables, feats, False)
+    out_k = packed.apply(variables, feats, False)
+    for s in range(4):
+        np.testing.assert_allclose(out_k[s], out_p[s], atol=2e-5)
+    # train mode: BatchNorm stats must match too (per-original-channel)
+    o1, m1 = plain.apply(variables, feats, True, mutable=["batch_stats"])
+    o2, m2 = packed.apply(variables, feats, True, mutable=["batch_stats"])
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(a, b_, atol=2e-5),
+        m1["batch_stats"], m2["batch_stats"])
+    np.testing.assert_allclose(o2[0], o1[0], atol=2e-5)

@@ -26,40 +26,76 @@ NUM_CH_DEC = (16, 32, 64, 128, 256)
 
 
 class DepthDecoder(nn.Module):
+    """``packed_tail`` (fork variant only) carries levels 1 and 0 — the
+    low-channel, high-resolution tail — in space-to-depth layout
+    (ops.packed): each deconv keeps its natural packed output, skip features
+    join via space_to_depth + per-subpixel concat, the ConvBlocks and
+    dispconvs run as packed convs (~3x faster on the MXU than their 16-32
+    channel full-res forms, fwd and bwd), and BatchNorm groups its stats per
+    original channel via a pure reshape. Bit-for-bit the same parameters and
+    (up to f32 reduction order) the same outputs."""
+
     scales: Tuple[int, ...] = (0, 1, 2, 3)
     num_output_channels: int = 1
     use_skips: bool = True
     variant: str = "fork"  # "fork": deconv+BN; "upstream": nearest, no BN
     compute_dtype: jnp.dtype = jnp.float32
+    packed_tail: bool = True
 
     @nn.compact
     def __call__(self, input_features: Sequence[jnp.ndarray],
                  train: bool = False) -> Dict[int, jnp.ndarray]:
+        from ..ops.packed import depth_to_space, space_to_depth
+
         use_bn = self.variant == "fork"
         outputs = {}
         x = input_features[-1].astype(self.compute_dtype)
+        x_packed = False  # is x currently in (r, s, c) packed layout?
         for i in range(4, -1, -1):
+            packed = (self.packed_tail and i <= 1
+                      and self.variant == "fork")
             x = ConvBlock(NUM_CH_DEC[i], self.compute_dtype,
-                          name=f"upconv_{i}_0")(x)
+                          name=f"upconv_{i}_0")(x, packed=x_packed)
+            if x_packed:
+                x = depth_to_space(x)  # the deconv consumes full-res layout
+                x_packed = False
             if self.variant == "fork":
                 x = Deconv2x(NUM_CH_DEC[i], compute_dtype=self.compute_dtype,
-                             name=f"deconv_{i}")(x)
+                             name=f"deconv_{i}")(x, keep_packed=packed)
+                x_packed = packed
             else:
                 x = upsample2x_nearest(x)
             if self.use_skips and i > 0:
-                x = jnp.concatenate(
-                    [x, input_features[i - 1].astype(self.compute_dtype)],
-                    axis=-1)
+                skip = input_features[i - 1].astype(self.compute_dtype)
+                if x_packed:
+                    # concat per subpixel block: (.., 4, cx) ++ (.., 4, cs)
+                    skip = space_to_depth(skip)
+                    b_, hp, wp, c4 = x.shape
+                    x = jnp.concatenate(
+                        [x.reshape(b_, hp, wp, 4, c4 // 4),
+                         skip.reshape(b_, hp, wp, 4, -1)], axis=-1
+                    ).reshape(b_, hp, wp, -1)
+                else:
+                    x = jnp.concatenate([x, skip], axis=-1)
             x = ConvBlock(NUM_CH_DEC[i], self.compute_dtype,
-                          name=f"upconv_{i}_1")(x)
+                          name=f"upconv_{i}_1")(x, packed=x_packed)
             if use_bn:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=self.compute_dtype,
-                                 name=f"bn_{i}")(x)
+                bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                  epsilon=1e-5, dtype=self.compute_dtype,
+                                  name=f"bn_{i}")
+                if x_packed:
+                    # per-ORIGINAL-channel stats: (B, Hp, Wp, 4, C) view
+                    b_, hp, wp, c4 = x.shape
+                    x = bn(x.reshape(b_, hp, wp, 4, c4 // 4)
+                           ).reshape(b_, hp, wp, c4)
+                else:
+                    x = bn(x)
             if i in self.scales:
                 from .layers import Conv3x3
                 disp = Conv3x3(self.num_output_channels,
                                compute_dtype=self.compute_dtype,
-                               name=f"dispconv_{i}")(x)
+                               name=f"dispconv_{i}")(x, packed=x_packed)
+                if x_packed:
+                    disp = depth_to_space(disp)
                 outputs[i] = nn.sigmoid(disp.astype(jnp.float32))
         return outputs

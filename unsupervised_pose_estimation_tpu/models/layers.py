@@ -11,15 +11,46 @@ import jax
 import jax.numpy as jnp
 
 
+class _ConvP(nn.Module):
+    """Bare 3x3 conv parameters with nn.Conv's tree layout/initializers, so
+    the packed path below shares checkpoints with the nn.Conv path."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class Conv3x3(nn.Module):
-    """Reflection-pad(1) + 3x3 VALID conv (`/root/reference/layers.py:192-207`)."""
+    """Reflection-pad(1) + 3x3 VALID conv (`/root/reference/layers.py:192-207`).
+
+    With ``packed=True`` the input/output are in space-to-depth layout
+    (B, H/2, W/2, 4C) and the SAME parameters are applied via the packed
+    kernel assembly (ops.packed) — exact reflect-conv semantics, MXU-friendly
+    channel counts for the decoder tail.
+    """
 
     features: int
     use_refl: bool = True
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, packed: bool = False):
+        if packed:
+            if not self.use_refl:
+                raise NotImplementedError("packed path is reflect-pad only")
+            from ..ops.packed import packed_conv3x3
+
+            kernel, bias = _ConvP(self.features, x.shape[-1] // 4,
+                                  name="conv")()
+            y = packed_conv3x3(x.astype(self.compute_dtype),
+                               kernel.astype(self.compute_dtype))
+            return y + jnp.tile(bias, 4).astype(self.compute_dtype)
         mode = "reflect" if self.use_refl else "constant"
         x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode=mode)
         return nn.Conv(self.features, (3, 3), padding="VALID",
@@ -33,9 +64,9 @@ class ConvBlock(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, packed: bool = False):
         return nn.elu(Conv3x3(self.features, compute_dtype=self.compute_dtype,
-                              name="conv3x3")(x))
+                              name="conv3x3")(x, packed=packed))
 
 
 class Deconv2x(nn.Module):
@@ -67,7 +98,10 @@ class Deconv2x(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, keep_packed: bool = False):
+        """With ``keep_packed`` the depth-to-space interleave is skipped and
+        the (B, H, W, 4*features) result stays in (r, s, c) packed layout
+        (ops.packed) for a packed decoder tail."""
         b, h, w, in_ch = x.shape
         f = self.features
         kernel = self.param(
@@ -95,12 +129,15 @@ class Deconv2x(nn.Module):
             window_strides=(1, 1),
             padding=((0, 1), (0, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )  # (b, h, w, 4*f)
-        # depth-to-space: channel blocks (r, s) -> y[2i+r, 2j+s]
-        y = y.reshape(b, h, w, 2, 2, f)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, f)
+        )  # (b, h, w, 4*f) in (r, s, c) packed layout
+        if not keep_packed:
+            # depth-to-space: channel blocks (r, s) -> y[2i+r, 2j+s]
+            y = y.reshape(b, h, w, 2, 2, f)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, f)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            if keep_packed:
+                bias = jnp.tile(bias, 4)
             y = y + bias.astype(self.compute_dtype)
         return y
 
