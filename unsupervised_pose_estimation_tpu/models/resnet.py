@@ -46,25 +46,74 @@ def encoder_channels(num_layers: int):
     return tuple(ch)
 
 
+class _StemP(nn.Module):
+    """Bare 7x7 conv kernel with nn.Conv's tree layout (no bias), shared
+    between the plain and packed stem paths."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _conv_init,
+                          (7, 7, self.in_features, self.features))
+
+
+def _packed_stem_conv(x, kernel, compute_dtype):
+    """7x7 stride-2 pad-3 conv evaluated in space-to-depth layout.
+
+    The stem's 3-6 input channels starve the MXU's 128-lane contraction
+    (~7 TFLOP/s measured, scripts/bench_conv.py). Packing the input 2x2
+    (4*Cin channels at half resolution) makes the stride-2 conv a stride-1
+    4x4 conv with contraction dim 16*Cin — exact same math (tap (a, b) of
+    the 7x7 kernel lands in packed tap (floor((a-3)/2)+2, ...) sub-channel
+    ((a-3) mod 2, ...)), zero padding becomes plain (2, 1) packed padding,
+    and the input gradient needs no lhs_dilation."""
+    import jax
+
+    from ..ops.packed import space_to_depth
+
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    k4 = jnp.zeros((4, 4, 4 * cin, cout), kernel.dtype)
+    for a in range(7):
+        dp, rp = divmod(a - 3, 2)
+        for b_ in range(7):
+            dq, sp = divmod(b_ - 3, 2)
+            ci = (rp * 2 + sp) * cin
+            k4 = k4.at[dp + 2, dq + 2, ci:ci + cin, :].set(kernel[a, b_])
+    xp = space_to_depth(x)
+    return jax.lax.conv_general_dilated(
+        xp.astype(compute_dtype), k4.astype(compute_dtype),
+        window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class _ConvBN(nn.Module):
     features: int
     kernel: int
     stride: int = 1
     pad: int = 0
     compute_dtype: jnp.dtype = jnp.float32
+    packed_stem: bool = False  # kernel 7 / stride 2 / pad 3 only
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((self.pad, self.pad), (self.pad, self.pad)),
-            use_bias=False,
-            kernel_init=_conv_init,
-            dtype=self.compute_dtype,
-            name="conv",
-        )(x)
+        if (self.packed_stem and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0):
+            assert (self.kernel, self.stride, self.pad) == (7, 2, 3)
+            kernel = _StemP(self.features, x.shape[-1], name="conv")()
+            x = _packed_stem_conv(x, kernel, self.compute_dtype)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((self.pad, self.pad), (self.pad, self.pad)),
+                use_bias=False,
+                kernel_init=_conv_init,
+                dtype=self.compute_dtype,
+                name="conv",
+            )(x)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -137,7 +186,8 @@ class ResNetEncoder(nn.Module):
 
         x = x.astype(self.compute_dtype)
         features = []
-        x = _ConvBN(64, 7, 2, 3, self.compute_dtype, name="stem")(x, train)
+        x = _ConvBN(64, 7, 2, 3, self.compute_dtype, packed_stem=True,
+                    name="stem")(x, train)
         x = nn.relu(x)
         features.append(x)
 

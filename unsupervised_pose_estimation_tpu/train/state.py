@@ -47,10 +47,16 @@ def make_optimizer(learning_rate) -> optax.GradientTransformation:
     torch Adam defaults (betas (0.9, 0.999), eps 1e-8), trainer.py:183.
 
     A float is wrapped as a constant schedule so the opt_state pytree has the
-    same structure with and without a scheduler (checkpoint compatibility)."""
+    same structure with and without a scheduler (checkpoint compatibility).
+
+    optax.flatten concatenates every parameter leaf into one vector for the
+    update math: Adam becomes ~6 large elementwise ops instead of ~6 ops per
+    leaf (~150 leaves -> ~900 sub-millisecond TPU ops whose launch overhead
+    was measurable in the step trace). Same numbers, fewer ops."""
     if not callable(learning_rate):
         learning_rate = optax.constant_schedule(learning_rate)
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    return optax.flatten(optax.adam(learning_rate, b1=0.9, b2=0.999,
+                                    eps=1e-8))
 
 
 def make_disc_optimizer(lr: float, b1: float, b2: float):
