@@ -35,7 +35,7 @@ import numpy as np
 TORCH_CPU_BASELINE_FPS = 0.285
 
 HEIGHT, WIDTH, BATCH = 192, 640, 12
-WARMUP, STEPS, WINDOWS = 3, 10, 10
+WARMUP, STEPS, WINDOWS = 3, 15, 16
 
 # peak dense bf16 FLOP/s per chip, by device_kind substring
 PEAK_FLOPS = {
