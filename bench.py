@@ -35,7 +35,8 @@ import numpy as np
 TORCH_CPU_BASELINE_FPS = 0.285
 
 HEIGHT, WIDTH, BATCH = 192, 640, 12
-WARMUP, STEPS, WINDOWS = 3, 15, 16
+WARMUP, STEPS, WINDOWS = 3, 15, 8
+ROUNDS, ROUND_SLEEP_S = 3, 60
 
 # peak dense bf16 FLOP/s per chip, by device_kind substring
 PEAK_FLOPS = {
@@ -102,21 +103,37 @@ def main():
     def step(state, batch, key):
         return compiled(state, batch, key)
 
+    import sys
+
+    print("bench: compiled, warming up", file=sys.stderr, flush=True)
     for i in range(WARMUP):
         state, losses = step(state, batch, key)
     float(losses["loss"])  # value fetch: the only reliable device sync on
     # the experimental axon backend (block_until_ready returns early there)
 
-    # several timing windows: the pooled chip shows heavy bursty external
-    # contention (up to ~4x window spread); best window = capability
+    # Timing windows: the pooled chip shows heavy external contention that
+    # comes in two regimes — bursty (some windows clean: spread >~ 2, best
+    # window = capability) and sustained (every window uniformly slow:
+    # spread ~1, duty cycle ~25% for everyone). In the sustained regime
+    # keep sampling in spaced rounds across a longer wall-clock horizon to
+    # catch a quiet window; stop early once one shows up.
     window_dts = []
-    for rep in range(WINDOWS):
-        t0 = time.perf_counter()
-        for i in range(STEPS):
-            state, losses = step(state, batch, key)
-        final_loss = float(losses["loss"])  # sync: forces STEPS to finish
-        window_dts.append(time.perf_counter() - t0)
-        assert final_loss == final_loss, "NaN loss in benchmark"
+    for rnd in range(ROUNDS):
+        for rep in range(WINDOWS):
+            t0 = time.perf_counter()
+            for i in range(STEPS):
+                state, losses = step(state, batch, key)
+            final_loss = float(losses["loss"])  # sync: forces STEPS done
+            window_dts.append(time.perf_counter() - t0)
+            print(f"bench: window {len(window_dts)}: "
+                  f"{STEPS * BATCH / window_dts[-1]:.1f} f/s",
+                  file=sys.stderr, flush=True)
+            assert final_loss == final_loss, "NaN loss in benchmark"
+        fps_sorted = sorted(STEPS * BATCH / dt for dt in window_dts)
+        bimodal = fps_sorted[-1] / max(np.median(fps_sorted), 1e-9) > 1.6
+        if bimodal or rnd == ROUNDS - 1:
+            break
+        time.sleep(ROUND_SLEEP_S)
 
     window_fps = sorted(STEPS * BATCH / dt for dt in window_dts)
     fps = float(window_fps[-1])
@@ -128,7 +145,7 @@ def main():
         "median_window": round(float(np.median(window_fps)), 2),
         "spread": round(fps / max(window_fps[0], 1e-9), 2),
         "ms_per_step": round(1000.0 * BATCH / fps, 1),
-        "windows": WINDOWS,
+        "windows": len(window_dts),
     }
     if step_flops:
         record["step_tflops"] = round(step_flops / 1e12, 3)
