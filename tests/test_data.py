@@ -228,3 +228,25 @@ def test_frame_cache_resolution_mismatch_raises(lung_tree, tmp_path):
                           frame_idxs=[0], is_train=False)
     with pytest.raises(ValueError, match="rebuild"):
         attach_frame_cache(ds64, cache_dir)
+
+
+def test_frame_cache_data_path_mismatch_raises(lung_tree, tmp_path):
+    """A cache reused against a DIFFERENT data_path with overlapping keys
+    must be rejected, not silently serve stale pixels (ADVICE r2)."""
+    import shutil
+
+    from unsupervised_pose_estimation_tpu.data.cache import (
+        attach_frame_cache, build_frame_cache)
+
+    data_path, lines = lung_tree
+    ds = LungRAWDataset(data_path, lines, height=32, width=32,
+                        frame_idxs=[0], is_train=False)
+    cache_dir = str(tmp_path / "cache")
+    build_frame_cache(ds, cache_dir)
+    # identical tree at a different path -> same folder|frame|side keys
+    other_path = str(tmp_path / "other_data")
+    shutil.copytree(data_path, other_path)
+    ds_other = LungRAWDataset(other_path, lines, height=32, width=32,
+                              frame_idxs=[0], is_train=False)
+    with pytest.raises(ValueError, match="stale pixels"):
+        attach_frame_cache(ds_other, cache_dir)

@@ -39,6 +39,22 @@ def frame_key(folder: str, frame_index: int, side: Optional[str]) -> str:
     return f"{folder}|{frame_index}|{side}"
 
 
+def dataset_fingerprint(dataset) -> str:
+    """Identity of the pixel SOURCE a cache was built from: a cache dir
+    reused against a different data_path or dataset class whose
+    folder|frame|side keys overlap would otherwise silently serve stale
+    pixels (ADVICE r2). The split/filename list is deliberately NOT part of
+    the fingerprint: a cache built over a subset of the same source is
+    valid — misses fall back to disk."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(os.path.abspath(dataset.data_path).encode())
+    h.update(type(dataset).__name__.encode())
+    h.update(f"{dataset.height}x{dataset.width}".encode())
+    return h.hexdigest()[:16]
+
+
 def enumerate_frames(dataset) -> list:
     """Every (folder, frame_index, side) the dataset's items can touch:
     the temporal window fi + i*sampling_frequency per split line, plus the
@@ -67,8 +83,11 @@ def build_frame_cache(dataset, cache_dir: str, log=None) -> dict:
     keys = enumerate_frames(dataset)
     h, w = dataset.height, dataset.width
     os.makedirs(cache_dir, exist_ok=True)
+    # build into a pid-suffixed temp file and publish via rename so a
+    # concurrent builder can never truncate an array a reader already mapped
+    frames_tmp = os.path.join(cache_dir, FRAMES_FILE + f".tmp.{os.getpid()}")
     arr = np.lib.format.open_memmap(
-        os.path.join(cache_dir, FRAMES_FILE), mode="w+", dtype=np.uint8,
+        frames_tmp, mode="w+", dtype=np.uint8,
         shape=(len(keys), h, w, 3))
     index = {}
     row = 0
@@ -85,10 +104,17 @@ def build_frame_cache(dataset, cache_dir: str, log=None) -> dict:
         if log is not None and row % 500 == 0:
             log(f"frame cache: {row}/{len(keys)} decoded")
     arr.flush()
+    del arr  # close the mmap before renaming
+    os.replace(frames_tmp, os.path.join(cache_dir, FRAMES_FILE))
     meta = {"height": h, "width": w, "rows": row, "skipped": skipped,
-            "dataset": type(dataset).__name__, "index": index}
-    with open(os.path.join(cache_dir, INDEX_FILE), "w") as f:
+            "dataset": type(dataset).__name__,
+            "fingerprint": dataset_fingerprint(dataset), "index": index}
+    # temp-file + rename: readers either see no index (cache "missing") or
+    # a complete one — never a torn write from a concurrent builder
+    tmp = os.path.join(cache_dir, INDEX_FILE + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, os.path.join(cache_dir, INDEX_FILE))
     if log is not None:
         log(f"frame cache: {row} frames ({skipped} missing skipped) -> "
             f"{cache_dir}")
@@ -108,6 +134,7 @@ class FrameCache:
             meta = json.load(f)
         self.height = int(meta["height"])
         self.width = int(meta["width"])
+        self.fingerprint = meta.get("fingerprint")
         self.index = meta["index"]
         self.frames = np.load(os.path.join(cache_dir, FRAMES_FILE),
                               mmap_mode="r")
@@ -132,5 +159,11 @@ def attach_frame_cache(dataset, cache_dir: str,
         raise ValueError(
             f"frame cache is {cache.width}x{cache.height} but the dataset "
             f"feeds {dataset.width}x{dataset.height}; rebuild the cache")
+    want = dataset_fingerprint(dataset)
+    if cache.fingerprint is not None and cache.fingerprint != want:
+        raise ValueError(
+            f"frame cache at {cache_dir} was built from a different "
+            f"data_path/split (fingerprint {cache.fingerprint} != {want}); "
+            f"reusing it would serve stale pixels — rebuild the cache")
     dataset.frame_cache = cache
     return dataset

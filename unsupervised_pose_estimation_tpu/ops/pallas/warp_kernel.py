@@ -805,7 +805,7 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
                     ok_, fast_, tail_, operand=None), ok, fast, tail)
 
         if (version == 7 and image.dtype == jnp.uint8 and h % RBP == 0
-                and h >= MB7):
+                and h >= MB7 and w % LANE == 0):
             # per-(row, chunk) miniband top rung: uint8 sources only (bf16
             # corners are exact for raw 0..255 values)
             yb7 = y0i.reshape(b, h, w // LANE, LANE)

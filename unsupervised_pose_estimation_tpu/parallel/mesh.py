@@ -43,12 +43,27 @@ def make_mesh(data: int = -1, fsdp: int = 1,
             f"mesh {dcn}x{data}x{fsdp} needs more than {n} devices")
     slice_ids = {getattr(d, "slice_index", 0) for d in devices}
     if dcn > 1 and len(slice_ids) == dcn:
-        # real multi-slice topology: outer axis over DCN, inner over ICI
+        # real multi-slice topology: outer axis over DCN, inner over ICI.
+        # NB: create_hybrid_device_mesh uses ALL devices — explicit device
+        # subsets are unsupported with dcn > 1.
         from jax.experimental import mesh_utils
 
         dev_array = mesh_utils.create_hybrid_device_mesh(
             (1, data, fsdp), (dcn, 1, 1), devices=devices)
     else:
+        if dcn > 1:
+            # the flat reshape below cannot align the outer "dcn" axis with
+            # slice boundaries, so gradient reduction would cross DCN on an
+            # inner axis — a silent perf hazard on real hardware. Allowed
+            # (virtual/CPU meshes have one slice id) but loudly flagged.
+            import warnings
+
+            warnings.warn(
+                f"make_mesh: dcn={dcn} but devices span {len(slice_ids)} "
+                f"slice(s); falling back to a flat reshape whose outer "
+                f"'dcn' axis does NOT follow slice boundaries. On real "
+                f"multi-slice hardware this puts gradient all-reduces on "
+                f"the wrong network tier.", stacklevel=2)
         # single slice / virtual devices: an explicit smaller mesh uses a
         # device subset (e.g. --mesh_data 1 to debug single-device on a
         # multi-chip host)

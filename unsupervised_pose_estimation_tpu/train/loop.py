@@ -139,7 +139,7 @@ class Trainer:
 
         sched = lr_schedule(cfg, self.steps_per_epoch)
         self.lr_fn = sched if callable(sched) else (lambda _: sched)
-        self.tx = make_optimizer(sched)
+        self.tx = make_optimizer(sched, flatten=cfg.mesh_fsdp == 1)
         self.state = create_train_state(self.bundle,
                                         jax.random.PRNGKey(cfg.seed),
                                         tx=self.tx)

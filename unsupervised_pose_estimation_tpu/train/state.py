@@ -42,7 +42,8 @@ def lr_schedule(cfg, steps_per_epoch: int = 1):
     raise ValueError(f"unknown lr_scheduler '{cfg.lr_scheduler}'")
 
 
-def make_optimizer(learning_rate) -> optax.GradientTransformation:
+def make_optimizer(learning_rate,
+                   flatten: bool = True) -> optax.GradientTransformation:
     """learning_rate: float or optax schedule.
     torch Adam defaults (betas (0.9, 0.999), eps 1e-8), trainer.py:183.
 
@@ -52,11 +53,18 @@ def make_optimizer(learning_rate) -> optax.GradientTransformation:
     optax.flatten concatenates every parameter leaf into one vector for the
     update math: Adam becomes ~6 large elementwise ops instead of ~6 ops per
     leaf (~150 leaves -> ~900 sub-millisecond TPU ops whose launch overhead
-    was measurable in the step trace). Same numbers, fewer ops."""
+    was measurable in the step trace). Same numbers, fewer ops.
+
+    Pass ``flatten=False`` when parameters are fsdp-sharded (mesh_fsdp > 1):
+    flattened Adam moments form one vector that cannot follow per-leaf
+    parameter shardings, defeating fsdp memory scaling. NOTE: flattening also
+    changes the opt_state pytree structure — checkpoints saved before the
+    flatten landed (or with the other ``flatten`` setting) do not restore
+    into this state; keep the setting consistent across a run."""
     if not callable(learning_rate):
         learning_rate = optax.constant_schedule(learning_rate)
-    return optax.flatten(optax.adam(learning_rate, b1=0.9, b2=0.999,
-                                    eps=1e-8))
+    tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    return optax.flatten(tx) if flatten else tx
 
 
 def make_disc_optimizer(lr: float, b1: float, b2: float):
@@ -70,7 +78,8 @@ def create_train_state(bundle, rng, learning_rate: float = 1e-4,
     import jax.numpy as jnp
 
     variables = bundle.init(rng)
-    tx = tx or make_optimizer(learning_rate)
+    tx = tx or make_optimizer(learning_rate,
+                              flatten=bundle.cfg.mesh_fsdp == 1)
     opt_state = tx.init(variables["params"])
     disc_params = variables.get("disc_params")
     disc_opt_state = None

@@ -412,7 +412,8 @@ def build_train_step(bundle: ModelBundle, tx: Optional[
     zero_grad/backward/step of trainer.py:311-313). Pass the run's mesh so
     the Pallas warp kernel stays active on multi-device runs (shard_map).
     """
-    tx = tx or make_optimizer(bundle.cfg.learning_rate)
+    tx = tx or make_optimizer(bundle.cfg.learning_rate,
+                              flatten=bundle.cfg.mesh_fsdp == 1)
 
     accum = bundle.cfg.grad_accum
 
