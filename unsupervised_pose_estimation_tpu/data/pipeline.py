@@ -26,6 +26,25 @@ def collate(items) -> dict:
     return out
 
 
+# --------------------------------------------------------------------------
+# process-worker plumbing: the dataset is pickled ONCE into each spawned
+# worker (initializer), items are fetched by index. get_item(index, epoch)
+# is deterministic (per-item seeded RNG), so process- and thread-produced
+# batches are bit-identical — tests/test_data.py asserts it.
+_PROC_DATASET = None
+
+
+def _proc_init(payload: bytes):
+    global _PROC_DATASET
+    import pickle
+
+    _PROC_DATASET = pickle.loads(payload)
+
+
+def _proc_get(index: int, epoch: int):
+    return _PROC_DATASET.get_item(int(index), epoch)
+
+
 class Loader:
     """Iterable over device-resident batches.
 
@@ -37,26 +56,83 @@ class Loader:
       sharding: optional jax.sharding.Sharding for the batch (leading axis
         over the data mesh axis); None keeps batches on the default device.
       num_workers: decode threads.
+      num_worker_procs: decode PROCESSES (spawn-based); 0 (default) uses the
+        thread pool. Threads share one GIL, so PIL decode parallelism caps
+        out quickly on real multi-core TPU-VM hosts — processes sidestep it
+        (the host-parallelism the reference's `--num_workers` flag gestures
+        at, `/root/reference/options.py:180-183`). Requires a picklable
+        dataset; falls back to threads with a warning otherwise.
       prefetch: queue depth of device-resident batches.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  sharding=None, num_workers: int = 8, prefetch: int = 2,
-                 seed: int = 0, infinite: bool = False):
+                 seed: int = 0, infinite: bool = False,
+                 num_worker_procs: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.sharding = sharding
         self.num_workers = max(1, num_workers)
+        self.num_worker_procs = max(0, num_worker_procs)
         self.prefetch = max(1, prefetch)
         self.seed = seed
         self.infinite = infinite
+        self._proc_pool = None
         if len(dataset) < batch_size:
             raise ValueError(
                 f"dataset ({len(dataset)}) smaller than batch ({batch_size})")
 
     def __len__(self):
         return len(self.dataset) // self.batch_size
+
+    def _get_proc_pool(self):
+        """Lazy spawn-based process pool, kept across epochs (spawn cost is
+        high). The workers must NOT register an accelerator backend: TPU
+        plugin env vars are scrubbed for the duration of the spawn so each
+        worker comes up as a plain CPU interpreter."""
+        if self._proc_pool is not None:
+            return self._proc_pool
+        import os
+        import pickle
+        from concurrent.futures import ProcessPoolExecutor
+        from multiprocessing import get_context
+
+        try:
+            payload = pickle.dumps(self.dataset)
+        except Exception as e:
+            import warnings
+
+            warnings.warn(f"dataset not picklable ({e}); "
+                          f"falling back to thread workers")
+            self.num_worker_procs = 0
+            return None
+        saved = {k: os.environ.pop(k) for k in list(os.environ)
+                 if k.startswith(("PALLAS_AXON", "AXON_"))}
+        saved_platform = os.environ.get("JAX_PLATFORMS")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            self._proc_pool = ProcessPoolExecutor(
+                self.num_worker_procs, mp_context=get_context("spawn"),
+                initializer=_proc_init, initargs=(payload,))
+        finally:
+            os.environ.update(saved)
+            if saved_platform is None:
+                os.environ.pop("JAX_PLATFORMS", None)
+            else:
+                os.environ["JAX_PLATFORMS"] = saved_platform
+        return self._proc_pool
+
+    def close(self):
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False, cancel_futures=True)
+            self._proc_pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _indices(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -77,16 +153,28 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        proc_pool = self._get_proc_pool() if self.num_worker_procs else None
+
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                if proc_pool is not None:
                     for row in batches:
                         if stop.is_set():
                             return
-                        items = list(pool.map(
-                            lambda i: self.dataset.get_item(int(i), epoch),
-                            row))
+                        items = list(proc_pool.map(
+                            _proc_get, [int(i) for i in row],
+                            [epoch] * len(row)))
                         q.put(collate(items))
+                else:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        for row in batches:
+                            if stop.is_set():
+                                return
+                            items = list(pool.map(
+                                lambda i: self.dataset.get_item(int(i),
+                                                                epoch),
+                                row))
+                            q.put(collate(items))
             except BaseException as e:  # surface worker errors to consumer
                 q.put(e)
                 return

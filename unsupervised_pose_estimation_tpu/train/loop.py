@@ -122,6 +122,7 @@ class Trainer:
         self.train_loader = Loader(train_ds, cfg.batch_size, shuffle=True,
                                    sharding=self.batch_sharding,
                                    num_workers=cfg.num_workers,
+                                   num_worker_procs=cfg.num_worker_procs,
                                    prefetch=cfg.prefetch, seed=cfg.seed)
         self.val_loader = Loader(val_ds, cfg.batch_size, shuffle=True,
                                  sharding=self.batch_sharding,

@@ -259,7 +259,9 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
         sh_, sw_ = coords.shape[1], coords.shape[2]
         shards = mesh.size if mesh is not None else 1
         per_shard_b = src.shape[0] // max(shards, 1)
-        if (cfg.use_pallas_warp and jax.default_backend() != "cpu"
+        interp = cfg.pallas_warp_interpret
+        if (cfg.use_pallas_warp
+                and (jax.default_backend() != "cpu" or interp)
                 and sw_ % 128 == 0 and sh_ % 8 == 0 and sh_ >= 16
                 and src.shape[1] == sh_ and src.shape[2] == sw_
                 and (shards > 1 or jax.device_count() == 1)
@@ -275,10 +277,12 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
 
                 spec = P(batch_axes(mesh))
                 return jax.shard_map(
-                    lambda s, c: grid_sample_fast(s, c, planar_out=True),
+                    lambda s, c: grid_sample_fast(
+                        s, c, planar_out=True, interpret=interp),
                     mesh=mesh, in_specs=(spec, spec), out_specs=spec,
                     check_vma=False)(src, coords)
-            return grid_sample_fast(src, coords, planar_out=True)
+            return grid_sample_fast(src, coords, planar_out=True,
+                                    interpret=interp)
         scale = (1.0 / 255.0) if src.dtype == jnp.uint8 else 1.0
         return jnp.moveaxis(grid_sample(src, coords) * scale, -1, 1)
 
