@@ -1,0 +1,166 @@
+"""Quantitative quality row on the synthetic-parallax benchmark.
+
+This container has no network and no vendored ImageNet weights, so the
+reference's `weights_init=pretrained` KITTI protocol cannot be reproduced
+offline (documented in BASELINE.md). This script provides the substitute
+quality evidence VERDICT r3 asks for: end-to-end scratch training on scenes
+with EXACT per-pixel GT depth, scored with the reference's own eval
+protocol (`/root/reference/evaluate_depth.py:181-224`: resize to GT, mask
+gt>0, median scaling, clamp [1e-3, 80], 7-metric row).
+
+A constant-disparity predictor (what a collapsed/radial model degenerates
+to, and what the single-plane SyntheticDataset cannot distinguish) is
+scored alongside as the null baseline — the trained row must beat it by
+learning the layered structure.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_synthetic.py \
+      [--steps 1500] [--height 192 --width 640] [--out docs/quality]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--batch_size", type=int, default=12)
+    ap.add_argument("--num_eval", type=int, default=32)
+    ap.add_argument("--learning_rate", type=float, default=1e-4)
+    ap.add_argument("--compute_dtype", default=None,
+                    help="default: bfloat16 on TPU, float32 on CPU")
+    ap.add_argument("--out", default="docs/quality")
+    ap.add_argument("--log_dir", default="runs")
+    ap.add_argument("--model_name", default="synthetic_parallax")
+    ap.add_argument("--load_only", action="store_true",
+                    help="skip training; evaluate the existing checkpoint")
+    args = ap.parse_args()
+
+    import jax
+
+    from unsupervised_pose_estimation_tpu.config import Options
+    from unsupervised_pose_estimation_tpu.data.datasets import \
+        SyntheticParallaxDataset
+    from unsupervised_pose_estimation_tpu.eval.metrics import (
+        compute_depth_errors, resize_bilinear_np)
+    from unsupervised_pose_estimation_tpu.ops.geometry import disp_to_depth
+    from unsupervised_pose_estimation_tpu.train.step import build_infer_step
+
+    dtype = args.compute_dtype or (
+        "float32" if jax.default_backend() == "cpu" else "bfloat16")
+    cfg = Options(dataset="synthetic_parallax", model_name=args.model_name,
+                  height=args.height, width=args.width,
+                  batch_size=args.batch_size, compute_dtype=dtype,
+                  weights_init="scratch", learning_rate=args.learning_rate,
+                  num_epochs=1, steps_per_epoch=args.steps,
+                  log_dir=args.log_dir, log_frequency=50,
+                  num_workers=4).validate()
+
+    from unsupervised_pose_estimation_tpu.train.loop import Trainer
+
+    if args.load_only:
+        ckpt = os.path.join(args.log_dir, args.model_name, "models", "orbax")
+        cfg = Options(**{**cfg.__dict__, "load_weights_folder": ckpt})
+    trainer = Trainer(cfg)
+    if not args.load_only:
+        t0 = time.time()
+        trainer.train()
+        print(f"training: {args.steps} steps in {time.time() - t0:.0f}s")
+    state = trainer.state
+
+    # -- eval: held-out scenes (seed disjoint from train seed 0 / val 1) --
+    val = SyntheticParallaxDataset(args.num_eval, args.height, args.width,
+                                   [0], is_train=False, seed=7,
+                                   load_depth=True)
+    infer = build_infer_step(trainer.bundle)
+    errors, const_errors, ratios = [], [], []
+    previews = []
+    for i in range(args.num_eval):
+        item = val.get_item(i)
+        img = item["color"][0].astype(np.float32)[None] / 255.0
+        disp = np.asarray(
+            infer(state.params, state.batch_stats, img)[0][..., 0])[0]
+        scaled_disp, _ = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
+        scaled_disp = np.asarray(scaled_disp)
+        gt = item["depth_gt"]
+
+        def score(pred_disp):
+            pd = resize_bilinear_np(pred_disp, *gt.shape)
+            pred_depth = 1.0 / np.maximum(pd, 1e-12)
+            mask = gt > 0
+            pred, g = pred_depth[mask], gt[mask]
+            ratio = np.median(g) / np.median(pred)
+            pred = np.clip(pred * ratio, 1e-3, 80.0)
+            return compute_depth_errors(g, pred), ratio
+
+        err, ratio = score(scaled_disp)
+        errors.append(err)
+        ratios.append(ratio)
+        const_errors.append(
+            score(np.full_like(scaled_disp, scaled_disp.mean()))[0])
+        if i < 4:
+            previews.append((item["color"][0], scaled_disp, gt))
+
+    names = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")
+    mean_err = np.asarray(errors).mean(0)
+    mean_const = np.asarray(const_errors).mean(0)
+    row = dict(zip(names, (round(float(v), 4) for v in mean_err)))
+    const_row = dict(zip(names, (round(float(v), 4) for v in mean_const)))
+    print("\n  " + ("{:>8} | " * 7).format(*names))
+    print(("&{: 8.3f}  " * 7).format(*mean_err.tolist()) + "  (trained)")
+    print(("&{: 8.3f}  " * 7).format(*mean_const.tolist()) +
+          "  (constant-disparity null)")
+
+    os.makedirs(args.out, exist_ok=True)
+    record = {
+        "benchmark": "synthetic_parallax",
+        "protocol": "median scaling, mask gt>0, clamp [1e-3,80] "
+                    "(evaluate_depth.py:181-224)",
+        "config": {"height": args.height, "width": args.width,
+                   "batch": args.batch_size, "steps": args.steps,
+                   "dtype": dtype, "weights_init": "scratch",
+                   "backend": jax.default_backend()},
+        "trained": row,
+        "constant_disparity_null": const_row,
+        "median_scale_ratio": round(float(np.median(ratios)), 3),
+        "num_eval_scenes": args.num_eval,
+    }
+    out_json = os.path.join(args.out, "synthetic_parallax.json")
+    with open(out_json, "w") as f:
+        json.dump(record, f, indent=2)
+    print(f"-> wrote {out_json}")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(len(previews), 3,
+                                 figsize=(12, 2.2 * len(previews)))
+        for r, (rgb, disp, gt) in enumerate(previews):
+            axes[r, 0].imshow(rgb)
+            axes[r, 1].imshow(disp, cmap="magma")
+            axes[r, 2].imshow(1.0 / gt, cmap="magma")
+            for c, title in enumerate(("input", "pred disp", "gt inv-depth")):
+                axes[r, c].set_title(title if r == 0 else "")
+                axes[r, c].axis("off")
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.out, "synthetic_parallax_preview.png"),
+                    dpi=110)
+        print(f"-> wrote {args.out}/synthetic_parallax_preview.png")
+    except Exception as e:  # pragma: no cover
+        print(f"(preview skipped: {e})")
+
+
+if __name__ == "__main__":
+    main()

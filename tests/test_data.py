@@ -230,6 +230,56 @@ def test_frame_cache_resolution_mismatch_raises(lung_tree, tmp_path):
         attach_frame_cache(ds64, cache_dir)
 
 
+def test_synthetic_parallax_contract_and_depth():
+    from unsupervised_pose_estimation_tpu.data import SyntheticParallaxDataset
+
+    ds = SyntheticParallaxDataset(6, 64, 128, [0, -1, 1], load_depth=True,
+                                  seed=2)
+    item = ds.get_item(0)
+    assert item["color"].shape == (3, 64, 128, 3)
+    assert item["color"].dtype == np.uint8
+    assert item["depth_gt"].shape == (64, 128)
+    # layered: at least 2 distinct depths, and a non-trivial near region
+    uniq = np.unique(item["depth_gt"])
+    assert len(uniq) >= 2
+    near_frac = np.mean(item["depth_gt"] < uniq[-1])
+    assert 0.02 < near_frac < 0.95
+    # deterministic per index
+    np.testing.assert_array_equal(ds.get_item(3)["color"],
+                                  ds.get_item(3)["color"])
+
+
+def test_synthetic_parallax_photometric_consistency():
+    """Warping frame +1 into frame 0 with the EXACT GT depth and GT pose
+    must reproduce frame 0 away from occlusion edges — this validates that
+    the renderer's parallax math matches the framework's geometry (the same
+    backproject/project/grid_sample the train step uses)."""
+    import jax.numpy as jnp
+
+    from unsupervised_pose_estimation_tpu.data import SyntheticParallaxDataset
+    from unsupervised_pose_estimation_tpu.ops import geometry as G
+    from unsupervised_pose_estimation_tpu.ops.warp import grid_sample
+
+    h, w = 64, 128
+    ds = SyntheticParallaxDataset(2, h, w, [0, 1], load_depth=True, seed=4)
+    item = ds.get_item(1)
+    depth = jnp.asarray(item["depth_gt"])[None]  # (1, H, W)
+    K = np.diag([w, h, 1.0, 1.0]).astype(np.float32) @ item["K_norm"]
+    K = jnp.asarray(K)[None]
+    inv_K = jnp.linalg.inv(K)
+    T = jnp.asarray(ds.gt_pose(1, 1))[None]
+
+    cam_points = G.backproject(depth[..., None], inv_K)
+    pix = G.project(cam_points, K, T, h, w)
+    src = jnp.asarray(item["color"][1], jnp.float32)[None] / 255.0
+    warped = np.asarray(grid_sample(src, pix))[0]
+    tgt = item["color"][0].astype(np.float32) / 255.0
+    err = np.abs(warped - tgt).mean(-1)
+    # occlusion edges violate brightness constancy; the bulk must match
+    assert np.median(err) < 0.01, float(np.median(err))
+    assert np.mean(err < 0.02) > 0.85, float(np.mean(err < 0.02))
+
+
 def test_process_workers_match_thread_workers(lung_tree):
     """Spawn-based process pool (--num_worker_procs) must produce batches
     bit-identical to the thread pool: get_item(index, epoch) is

@@ -65,6 +65,12 @@ def test_train_time_depth_metrics():
     # empty mask (all-zero GT) -> no metrics
     assert train_time_depth_metrics(gt2, np.zeros_like(gt2)) == {}
 
+    # GT smaller than the garg crop origin (endovis/synthetic) -> verbatim
+    # crop would be empty; the monitor must fall back to the gt>0 mask
+    gt3 = rng.uniform(5, 20, size=(1, 64, 128))
+    m3 = train_time_depth_metrics(gt3 * 2.0, gt3)
+    assert m3["de/abs_rel"] < 1e-6 and m3["da/a1"] == 1.0
+
 
 def test_post_process_symmetric(rng_np):
     d = rng_np.uniform(0.01, 1, size=(2, 20, 30)).astype(np.float32)

@@ -363,6 +363,128 @@ class SyntheticDataset:
                 "K_norm": self.K_NORM.copy()}
 
 
+class SyntheticParallaxDataset:
+    """Layered fronto-parallel scenes with EXACT per-pixel GT depth.
+
+    Unlike :class:`SyntheticDataset` (single plane — constant depth, which
+    median-scaled eval metrics trivially reward), every item here is a
+    procedural scene of a background plane plus nearer elliptical layers at
+    distinct depths, viewed by a camera translating along x. Layers shift
+    with the correct per-depth parallax (texture and masks are continuous
+    functions of the plane coordinates, so sub-pixel shifts are exact and
+    photometric consistency holds away from occlusion edges — asserted by
+    tests/test_data.py). Monodepth training must recover the layered
+    structure to win; the exact depth map enables a quantitative
+    abs_rel...a3 quality row with zero external data (the eval protocol of
+    `/root/reference/evaluate_depth.py:181-224`, median scaling, mask
+    gt>0).
+    """
+
+    K_NORM = LungRAWDataset.K_NORM
+
+    def __init__(self, num_items: int, height: int, width: int,
+                 frame_idxs: Sequence, is_train: bool = True,
+                 sampling_frequency: int = 1, seed: int = 0,
+                 load_depth: bool = False, num_layers: int = 3, **_):
+        self.num_items = num_items
+        self.height = height
+        self.width = width
+        self.frame_idxs = [f for f in frame_idxs if f != "s"]
+        self.is_train = is_train
+        self.sampling_frequency = sampling_frequency
+        self.seed = seed
+        self.load_depth = load_depth
+        self.num_layers = num_layers
+
+    def __len__(self):
+        return self.num_items
+
+    # -- scene ----------------------------------------------------------
+    def _scene(self, index: int) -> dict:
+        rng = np.random.default_rng(self.seed * 91_003 + index)
+        n_blobs = self.num_layers - 1
+        depths = np.sort(rng.uniform(3.0, 10.0, n_blobs))[::-1]  # far->near
+        blobs = []
+        for d in depths:
+            blobs.append({
+                "depth": float(d),
+                "center": (rng.uniform(-0.55, 0.55), rng.uniform(-0.5, 0.5)),
+                "radii": (rng.uniform(0.18, 0.38), rng.uniform(0.15, 0.35)),
+                "tex": self._tex_params(rng),
+            })
+        return {
+            "d_bg": float(rng.uniform(12.0, 20.0)),
+            "bg_tex": self._tex_params(rng),
+            "t_x": float(rng.choice([-1.0, 1.0]) * rng.uniform(0.04, 0.09)),
+            "blobs": blobs,
+        }
+
+    @staticmethod
+    def _tex_params(rng) -> list:
+        return [(rng.uniform(1.5, 9.0), rng.uniform(1.5, 9.0),
+                 rng.uniform(0, 2 * np.pi, 3), rng.uniform(0.1, 0.35, 3))
+                for _ in range(5)]
+
+    @staticmethod
+    def _tex(params, a, b):
+        img = np.zeros(a.shape + (3,), np.float32)
+        for fa, fb, phase, amp in params:
+            arg = 2 * np.pi * (fa * a + fb * b)
+            for ch in range(3):
+                img[..., ch] += amp[ch] * np.sin(arg + phase[ch])
+        lo, hi = img.min(), img.max()
+        return (img - lo) / max(hi - lo, 1e-6)
+
+    def gt_pose(self, index: int, i) -> np.ndarray:
+        """4x4 transform cam_0 -> cam_i (a point's coordinates change by
+        -camera translation)."""
+        scene = self._scene(index)
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = -float(i) * self.sampling_frequency * scene["t_x"]
+        return T
+
+    def _render(self, scene: dict, cam_x: float, want_depth: bool):
+        h, w = self.height, self.width
+        fx, fy = self.K_NORM[0, 0] * w, self.K_NORM[1, 1] * h
+        cx, cy = self.K_NORM[0, 2] * w, self.K_NORM[1, 2] * h
+        uu, vv = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        ray_y = (vv - cy) / fy
+        # plane coords at depth d: a = (u-cx)/fx + cam_x/d (world x / depth)
+        a_bg = (uu - cx) / fx + cam_x / scene["d_bg"]
+        img = self._tex(scene["bg_tex"], a_bg, ray_y)
+        depth = np.full((h, w), scene["d_bg"], np.float32) if want_depth \
+            else None
+        for blob in scene["blobs"]:  # far -> near: nearer overwrite
+            a = (uu - cx) / fx + cam_x / blob["depth"]
+            ca, cb = blob["center"]
+            ra, rb = blob["radii"]
+            m = ((a - ca) / ra) ** 2 + ((ray_y - cb) / rb) ** 2 < 1.0
+            tex = self._tex(blob["tex"], a, ray_y)
+            img = np.where(m[..., None], tex, img)
+            if want_depth:
+                depth = np.where(m, np.float32(blob["depth"]), depth)
+        return img, depth
+
+    def get_item(self, index: int, epoch: int = 0):
+        scene = self._scene(index)
+        colors = []
+        depth0 = None
+        for i in self.frame_idxs:
+            cam_x = float(i) * self.sampling_frequency * scene["t_x"]
+            img, dep = self._render(scene, cam_x,
+                                    want_depth=(self.load_depth and i == 0))
+            if dep is not None:
+                depth0 = dep
+            colors.append((img * 255.0 + 0.5).astype(np.uint8))
+        color = np.stack(colors, 0)
+        item = {"color": color, "color_aug": color.copy(),
+                "K_norm": self.K_NORM.copy()}
+        if depth0 is not None:
+            item["depth_gt"] = depth0
+        return item
+
+
 DATASETS = {
     "endovis": LungRAWDataset,
     "scared": SCAREDRAWDataset,
@@ -370,6 +492,7 @@ DATASETS = {
     "kitti_odom": KITTIOdomDataset,
     "kitti_depth": KITTIDepthDataset,
     "synthetic": SyntheticDataset,
+    "synthetic_parallax": SyntheticParallaxDataset,
 }
 
 

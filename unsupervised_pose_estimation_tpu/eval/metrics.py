@@ -63,16 +63,21 @@ def train_time_depth_metrics(pred_depth: np.ndarray, depth_gt: np.ndarray):
     where GT is absent. Predictions are bilinearly resized to the GT
     resolution, clamped to [1e-3, 80], masked by gt>0 AND the garg/eigen crop
     (rows 153:371, cols 44:1197 — applied verbatim as the reference does,
-    regardless of dataset), then median-scaled. Returns {} when the mask is
-    empty."""
+    regardless of dataset). GT smaller than the crop origin (endovis 192x192,
+    synthetic benches) would always yield an empty mask under the verbatim
+    crop, so when cropping empties the mask we fall back to the uncropped
+    gt>0 mask instead of dropping the monitor. Then median-scaled. Returns
+    {} only when gt>0 is empty everywhere."""
     b, gt_h, gt_w = depth_gt.shape
     pred = np.stack([resize_bilinear_np(p, gt_h, gt_w) for p in pred_depth])
     pred = np.clip(pred, 1e-3, 80.0)
 
-    mask = depth_gt > 0
-    crop = np.zeros_like(mask)
+    valid = depth_gt > 0
+    crop = np.zeros_like(valid)
     crop[:, 153:371, 44:1197] = True
-    mask &= crop
+    mask = valid & crop
+    if not mask.any():
+        mask = valid
     if not mask.any():
         return {}
     gt = depth_gt[mask]

@@ -80,15 +80,23 @@ class Trainer:
 
         # data ---------------------------------------------------------
         frame_ids = list(cfg.frame_ids) + (["s"] if cfg.use_stereo else [])
-        if cfg.synthetic_data or cfg.dataset == "synthetic":
+        if cfg.synthetic_data or cfg.dataset in ("synthetic",
+                                                 "synthetic_parallax"):
+            from ..data.datasets import SyntheticParallaxDataset
+
+            ds_cls = (SyntheticParallaxDataset
+                      if cfg.dataset == "synthetic_parallax"
+                      else SyntheticDataset)
             n_items = max(4 * cfg.batch_size,
                           (cfg.steps_per_epoch or 4) * cfg.batch_size)
-            train_ds = SyntheticDataset(n_items, cfg.height, cfg.width,
-                                        frame_ids,
-                                        sampling_frequency=cfg.sampling_frequency)
-            val_ds = SyntheticDataset(2 * cfg.batch_size, cfg.height,
-                                      cfg.width, frame_ids, is_train=False,
-                                      seed=1)
+            train_ds = ds_cls(n_items, cfg.height, cfg.width,
+                              frame_ids,
+                              sampling_frequency=cfg.sampling_frequency)
+            # parallax val items ship exact GT depth -> the train-time
+            # de/*, da/* metric monitor engages with zero external data
+            val_ds = ds_cls(2 * cfg.batch_size, cfg.height,
+                            cfg.width, frame_ids, is_train=False,
+                            seed=1, load_depth=True)
         else:
             # exclude boundary frames per sampling stride (trainer.py:208-209)
             sf = cfg.sampling_frequency
