@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--batch_size", type=int, default=12)
     ap.add_argument("--num_eval", type=int, default=32)
+    ap.add_argument("--pool_steps", type=int, default=100,
+                    help="scene-pool size in batches; the pool is rendered "
+                         "once and revisited over epochs")
     ap.add_argument("--learning_rate", type=float, default=1e-4)
     ap.add_argument("--compute_dtype", default=None,
                     help="default: bfloat16 on TPU, float32 on CPU")
@@ -57,11 +60,17 @@ def main():
 
     dtype = args.compute_dtype or (
         "float32" if jax.default_backend() == "cpu" else "bfloat16")
+    # A pool of steps_per_epoch*batch scenes is rendered once (the dataset
+    # memoizes items in RAM) and revisited over epochs — the 1-core host
+    # renders ~4 items/s at 192x640, so re-rendering every step would leave
+    # the device >90% idle.
+    steps_per_epoch = min(args.steps, args.pool_steps)
+    num_epochs = max(1, -(-args.steps // steps_per_epoch))
     cfg = Options(dataset="synthetic_parallax", model_name=args.model_name,
                   height=args.height, width=args.width,
                   batch_size=args.batch_size, compute_dtype=dtype,
                   weights_init="scratch", learning_rate=args.learning_rate,
-                  num_epochs=1, steps_per_epoch=args.steps,
+                  num_epochs=num_epochs, steps_per_epoch=steps_per_epoch,
                   log_dir=args.log_dir, log_frequency=50,
                   num_workers=4).validate()
 

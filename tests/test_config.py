@@ -130,3 +130,29 @@ def test_experiment_scripts_flags_resolve():
             parse_options(out)  # raises SystemExit on any unknown flag
             n_cmds += 1
     assert n_cmds >= 15, f"only {n_cmds} commands found"
+
+
+def test_sweep_sampling_distributions(monkeypatch):
+    """The local random-search sweep (cli/train.py) must sample the
+    reference's distributions (train.py:38-48): lr log-uniform over
+    [1e-8, 1e-3], sampling_frequency uniform over {1,2,3,4}, 10 trials.
+    This is the documented substitute for wandb.sweep/agent (PARITY.md)."""
+    from unsupervised_pose_estimation_tpu.cli import train as train_cli
+
+    trials = []
+
+    class FakeTrainer:
+        def __init__(self, opts, lr=None, sampling=None):
+            trials.append((lr, sampling))
+
+        def train(self):
+            pass
+
+    monkeypatch.setattr(train_cli, "Trainer", FakeTrainer)
+    train_cli.main(["--wandb_sweep", "--synthetic_data"])
+    assert len(trials) == 10
+    for lr, sampling in trials:
+        assert 1e-8 <= lr <= 1e-3
+        assert sampling in (1, 2, 3, 4)
+    # actually random, not constant
+    assert len({lr for lr, _ in trials}) == 10

@@ -385,7 +385,8 @@ class SyntheticParallaxDataset:
     def __init__(self, num_items: int, height: int, width: int,
                  frame_idxs: Sequence, is_train: bool = True,
                  sampling_frequency: int = 1, seed: int = 0,
-                 load_depth: bool = False, num_layers: int = 3, **_):
+                 load_depth: bool = False, num_layers: int = 3,
+                 cache_items: bool = False, **_):
         self.num_items = num_items
         self.height = height
         self.width = width
@@ -395,6 +396,12 @@ class SyntheticParallaxDataset:
         self.seed = seed
         self.load_depth = load_depth
         self.num_layers = num_layers
+        # get_item is deterministic per index (epoch is ignored), so items
+        # may be memoized: the procedural render costs ~0.2 s/item at
+        # 192x640 on a 1-core host, while the pool fits trivially in RAM
+        # (uint8 frames). Opt-in; thread-pool loaders share the dict (GIL),
+        # process workers each keep their own copy.
+        self._cache = {} if cache_items else None
 
     def __len__(self):
         return self.num_items
@@ -467,6 +474,9 @@ class SyntheticParallaxDataset:
         return img, depth
 
     def get_item(self, index: int, epoch: int = 0):
+        if self._cache is not None and index in self._cache:
+            cached = self._cache[index]
+            return {k: v.copy() for k, v in cached.items()}
         scene = self._scene(index)
         colors = []
         depth0 = None
@@ -482,6 +492,8 @@ class SyntheticParallaxDataset:
                 "K_norm": self.K_NORM.copy()}
         if depth0 is not None:
             item["depth_gt"] = depth0
+        if self._cache is not None:
+            self._cache[index] = {k: v.copy() for k, v in item.items()}
         return item
 
 

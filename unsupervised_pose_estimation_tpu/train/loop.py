@@ -89,14 +89,17 @@ class Trainer:
                       else SyntheticDataset)
             n_items = max(4 * cfg.batch_size,
                           (cfg.steps_per_epoch or 4) * cfg.batch_size)
+            extra = ({"cache_items": True}
+                     if ds_cls is SyntheticParallaxDataset else {})
             train_ds = ds_cls(n_items, cfg.height, cfg.width,
                               frame_ids,
-                              sampling_frequency=cfg.sampling_frequency)
+                              sampling_frequency=cfg.sampling_frequency,
+                              **extra)
             # parallax val items ship exact GT depth -> the train-time
             # de/*, da/* metric monitor engages with zero external data
             val_ds = ds_cls(2 * cfg.batch_size, cfg.height,
                             cfg.width, frame_ids, is_train=False,
-                            seed=1, load_depth=True)
+                            seed=1, load_depth=True, **extra)
         else:
             # exclude boundary frames per sampling stride (trainer.py:208-209)
             sf = cfg.sampling_frequency
