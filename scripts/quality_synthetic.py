@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--model_name", default="synthetic_parallax")
     ap.add_argument("--load_only", action="store_true",
                     help="skip training; evaluate the existing checkpoint")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume training from the existing checkpoint")
     args = ap.parse_args()
 
     import jax
@@ -76,7 +78,7 @@ def main():
 
     from unsupervised_pose_estimation_tpu.train.loop import Trainer
 
-    if args.load_only:
+    if args.load_only or args.resume:
         ckpt = os.path.join(args.log_dir, args.model_name, "models", "orbax")
         cfg = Options(**{**cfg.__dict__, "load_weights_folder": ckpt})
     trainer = Trainer(cfg)

@@ -39,7 +39,7 @@ def test_reproj_loss_kernel_gradients(rng_np):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-@pytest.mark.parametrize("version", [1, 2, 3, 4, 6, 7])
+@pytest.mark.parametrize("version", [1, 2, 3, 4, 6, 7, 8])
 def test_banded_warp_kernel_matches_reference(rng_np, version):
     """grid_sample_fast (interpret mode): fast path, fallback path, and
     coordinate gradients must match ops.warp.grid_sample exactly."""
@@ -76,10 +76,13 @@ def test_banded_warp_kernel_matches_reference(rng_np, version):
         small)
     gb = jax.grad(lambda g: jnp.sum(grid_sample_fast(
         jnp.asarray(img), g, interpret=True, version=version) ** 2))(small)
-    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=1e-5)
+    # rtol covers f32 association differences between the saved d/dwx,
+    # d/dwy planes (v8 custom-vjp path) and XLA's AD of the explicit lerp
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-5,
+                               atol=1e-5)
 
 
-@pytest.mark.parametrize("version", [1, 2, 3, 4, 6, 7])
+@pytest.mark.parametrize("version", [1, 2, 3, 4, 6, 7, 8])
 def test_banded_warp_kernel_uint8(rng_np, version):
     from unsupervised_pose_estimation_tpu.ops.pallas.warp_kernel import \
         grid_sample_fast
@@ -94,6 +97,30 @@ def test_banded_warp_kernel_uint8(rng_np, version):
                             version=version)
     ref = grid_sample(jnp.asarray(img8), grid) / 255.0
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
+
+
+def test_v8_lerp_fused_kernel_gradients(rng_np):
+    """The v8 rung (in-kernel lerp, custom-vjp via saved d/dwx d/dwy
+    planes) must reproduce exact grid_sample coordinate gradients on a
+    uint8 source taking the fused fast path (small displacement)."""
+    from unsupervised_pose_estimation_tpu.ops.pallas.warp_kernel import \
+        grid_sample_fast
+    from unsupervised_pose_estimation_tpu.ops.warp import grid_sample
+
+    B, H, W, C = 1, 48, 128, 3
+    img8 = rng_np.integers(0, 255, size=(B, H, W, C)).astype(np.uint8)
+    xs, ys = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H),
+                         indexing="xy")
+    base = np.stack([xs, ys], -1)[None].astype(np.float32)
+    small = jnp.asarray(base + rng_np.uniform(
+        -0.02, 0.02, size=base.shape).astype(np.float32))
+
+    ga = jax.grad(lambda g: jnp.sum(
+        (grid_sample(jnp.asarray(img8), g) / 255.0) ** 2))(small)
+    gb = jax.grad(lambda g: jnp.sum(grid_sample_fast(
+        jnp.asarray(img8), g, interpret=True, version=8) ** 2))(small)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-4,
+                               atol=1e-5)
 
 
 def test_warp_kernel_vertical_motion_stays_banded(rng_np):

@@ -129,6 +129,8 @@ class Options:
     pallas_warp_interpret: bool = False  # test-only: run the Pallas warp in
     # interpret mode so the dispatch branch (incl. shard_map on multi-device
     # meshes) is exercised on CPU without a TPU (VERDICT r2 weak #6)
+    pallas_warp_version: int = 8  # top kernel rung (8 = lerp-fused; 7 =
+    # corner fetch + XLA lerp; lower = per-plane kernels) — ablation knob
     log_images: bool = False  # log disp/automask/warp images at log steps
     steps_per_epoch: Optional[int] = None  # cap steps (smoke tests)
     wandb: bool = False  # opt-in W&B logging

@@ -5,4 +5,5 @@ ops on platforms without Mosaic support; every kernel has an interpret-mode
 test asserting bit-level agreement with the jnp reference implementation.
 """
 
-from .reproj_loss import reprojection_loss_pallas  # noqa: F401
+from .reproj_loss import (  # noqa: F401
+    reprojection_loss_pallas, reprojection_loss_pallas_planar)

@@ -601,6 +601,128 @@ def _corner_kernel_v7(h: int, w: int, c: int, src_ref, x0_ref, yl_ref,
     jax.lax.fori_loop(0, h // RBP, block_body, 0)
 
 
+def _warp_lerp_kernel_v8(h: int, w: int, c: int, src_ref, x0_ref, yl_ref,
+                         ymin_ref, wx_ref, wy_ref, out_ref, dx_ref, dy_ref):
+    """v8: v7's channel-packed miniband corner fetch + IN-KERNEL bilinear
+    lerp. The four corner planes never leave VMEM: the kernel emits the
+    warped image and the two exact coordinate-gradient planes
+    (d out / d wx, d out / d wy) instead, killing the separate XLA lerp
+    pass (which re-read all four corner planes from HBM) and shrinking the
+    backward residuals from 4 corner planes to 2 gradient planes.
+
+    Grid is (batch, row-block): the source plane block is constant across
+    the row dimension (fetched once per batch element); coordinate/weight
+    inputs and the three outputs stream in RBP-row blocks.
+
+    src: (C*H, W) f32 raw-u8-valued (full plane); x0/yl/wx/wy: (RBP, W)
+    blocks; ymin: (RBP, W//LANE) i32 SMEM; outs: 3x (C, RBP, W) f32 scaled
+    to [0, 1] (x 1/255 folded in here).
+    """
+    n_groups = w // LANE
+    cb = c * MB7
+    inv255 = 1.0 / 255.0
+
+    rows_local = jax.lax.broadcasted_iota(jnp.int32, (cb, LANE), 0) % MB7
+    sel_rows = jax.lax.broadcasted_iota(jnp.int32, (RBP, LANE), 0)
+
+    x0_blk = x0_ref[:]  # (RBP, W)
+    yl_blk = yl_ref[:]
+    wx_blk = wx_ref[:]
+    wy_blk = wy_ref[:]
+
+    for cc in range(n_groups):  # output column chunks
+        cs = slice(cc * LANE, (cc + 1) * LANE)
+        x0c = x0_blk[:, cs]  # (RBP, 128)
+        ylc = yl_blk[:, cs]
+        x1c = x0c + 1
+        g0 = x0c // LANE
+        g1 = x1c // LANE
+
+        zeros16 = jnp.zeros((RBP, LANE), jnp.float32)
+        outs = [[zeros16] * c for _ in range(3)]  # warped, ddx, ddy
+        for i in range(RBP):
+            start = pl.multiple_of(ymin_ref[i, cc], 8)
+            m0 = rows_local == ylc[i:i + 1]
+            m1 = rows_local == ylc[i:i + 1] + 1
+            w0 = jnp.broadcast_to(x0c[i:i + 1] % LANE, (cb, LANE))
+            w1 = jnp.broadcast_to(x1c[i:i + 1] % LANE, (cb, LANE))
+            acc = [jnp.zeros((c, LANE), jnp.float32) for _ in range(4)]
+            for g in range(max(0, cc - 1), min(n_groups, cc + 2)):
+                band = jnp.concatenate(
+                    [src_ref[pl.ds(ch * h + start, MB7),
+                             g * LANE:(g + 1) * LANE]
+                     for ch in range(c)], axis=0)  # (C*MB7, 128)
+                part0 = jnp.take_along_axis(band, w0, axis=1)
+                part1 = jnp.take_along_axis(band, w1, axis=1)
+                s0 = jnp.broadcast_to(g0[i:i + 1] == g, (cb, LANE))
+                s1 = jnp.broadcast_to(g1[i:i + 1] == g, (cb, LANE))
+                acc[0] += jnp.sum(jnp.where(m0 & s0, part0, 0.0
+                                            ).reshape(c, MB7, LANE), 1)
+                acc[1] += jnp.sum(jnp.where(m0 & s1, part1, 0.0
+                                            ).reshape(c, MB7, LANE), 1)
+                acc[2] += jnp.sum(jnp.where(m1 & s0, part0, 0.0
+                                            ).reshape(c, MB7, LANE), 1)
+                acc[3] += jnp.sum(jnp.where(m1 & s1, part1, 0.0
+                                            ).reshape(c, MB7, LANE), 1)
+            # bilinear lerp on the VMEM-resident corners (c, LANE)
+            wxr = wx_blk[i:i + 1, cs]  # (1, LANE)
+            wyr = wy_blk[i:i + 1, cs]
+            dtop = acc[1] - acc[0]
+            dbot = acc[3] - acc[2]
+            top = acc[0] + wxr * dtop
+            bot = acc[2] + wxr * dbot
+            warped = top + wyr * (bot - top)
+            ddx = dtop + wyr * (dbot - dtop)
+            ddy = bot - top
+            sel = sel_rows == i
+            for ch in range(c):
+                outs[0][ch] = outs[0][ch] + jnp.where(
+                    sel, warped[ch:ch + 1], 0.0)
+                outs[1][ch] = outs[1][ch] + jnp.where(
+                    sel, ddx[ch:ch + 1], 0.0)
+                outs[2][ch] = outs[2][ch] + jnp.where(
+                    sel, ddy[ch:ch + 1], 0.0)
+
+        for ch in range(c):
+            out_ref[ch, :, cs] = outs[0][ch] * inv255
+            dx_ref[ch, :, cs] = outs[1][ch] * inv255
+            dy_ref[ch, :, cs] = outs[2][ch] * inv255
+
+
+def _warp_lerp_fused_v8(src, x0i, yl, ymin, wx, wy, interpret=False):
+    """src (B, C*H, W) raw-u8-valued f32; x0i/yl (B, H, W) i32;
+    ymin (B, H, W//LANE) i32; wx/wy (B, H, W) f32
+    -> (warped, ddx, ddy) each (B, C, H, W) f32 scaled to [0, 1]."""
+    b, ch_, w = src.shape
+    h = x0i.shape[1]
+    c = ch_ // h
+    kernel = functools.partial(_warp_lerp_kernel_v8, h, w, c)
+    vm = pltpu.VMEM
+    row_spec = pl.BlockSpec((None, RBP, w), lambda i, r: (i, r, 0),
+                            memory_space=vm)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // RBP),
+        in_specs=[
+            pl.BlockSpec((None, ch_, w), lambda i, r: (i, 0, 0),
+                         memory_space=vm),
+            row_spec,
+            row_spec,
+            pl.BlockSpec((None, RBP, w // LANE), lambda i, r: (i, r, 0),
+                         memory_space=pltpu.SMEM),
+            row_spec,
+            row_spec,
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((None, c, RBP, w), lambda i, r: (i, 0, r, 0),
+                         memory_space=vm)
+            for _ in range(3)),
+        out_shape=tuple(jax.ShapeDtypeStruct((b, c, h, w), jnp.float32)
+                        for _ in range(3)),
+        interpret=interpret,
+    )(src, x0i, yl, ymin, wx, wy)
+
+
 def _fetch_corners_packed_v7(src, x0i, yl, ymin, interpret=False):
     """src (B, C*H, W) raw-u8-valued f32; x0i/yl (B, H, W) i32;
     ymin (B, H, W//LANE) i32 -> 4 corner arrays (B, C*H, W) bf16."""
@@ -695,41 +817,43 @@ def _fetch_corners(src, x0i, yl, ymin, interpret=False, version=3,
     return out
 
 
-def grid_sample_fast(image, grid, interpret=False, planar_out=False,
-                     version=7):
-    """Bilinear sample with torch grid_sample(border, align_corners=True)
-    semantics; NO gradient to `image` (stop_gradient on the fetched corners;
-    exact coordinate gradients through the lerp).
+def _sample_impl(version, interpret, image, x, y):
+    """Dispatch ladder; returns (warped, ddx, ddy), all (B, C, H, W) f32.
 
-    image: (B, H, W, C) uint8 or float; grid: (B, H, W, 2) in [-1, 1].
-    Requires W % 128 == 0, H % 8 == 0 and H >= 16; callers use
-    ops.warp.grid_sample for other shapes. With ``planar_out`` the result
-    stays channel-planar (B, C, H, W) — the loss pipeline consumes planar,
-    so the NHWC round-trip is skipped entirely.
-
-    Runtime dispatch ladder (default): the channel-packed per-(row, chunk)
-    miniband v7 kernel for uint8 sources when both the 16-row y-miniband
-    and the |x-shift|<128 window fit (typical depth+pose warps), else the
-    per-plane v4, else the cond-guarded v3 kernel for large motion (e.g.
-    strong stereo disparity or fast vertical pans), else the exact XLA
-    patch-gather — large motion degrades gracefully instead of falling off
-    a cliff. Measured on 1x v5e at 640x192x12x3: XLA 42.6 ms, v1 8.7,
-    v3 5.9, v4/v6 ~3.9, v7 2.84 ms/warp.
+    ddx/ddy are the exact per-pixel coordinate gradients d warped / d wx
+    and d warped / d wy of the bilinear lerp (piecewise in the corners,
+    which are constants wrt the objective). Every rung returns the same
+    triple so the whole ladder sits under ONE custom_vjp
+    (grid_sample_fast): the backward pass is two multiply-reduces against
+    the saved gradient planes instead of re-deriving the lerp from four
+    corner planes.
     """
     b, h, w, c = image.shape
     img = image.astype(jnp.float32)
     if image.dtype == jnp.uint8:
         img = img * (1.0 / 255.0)
 
-    x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
-    y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
     x0 = jnp.minimum(jnp.floor(x), w - 2)
     y0 = jnp.minimum(jnp.floor(y), h - 2)
-    wx = (x - x0)[..., None]
-    wy = (y - y0)[..., None]
+    wxp = (x - x0)[:, None]  # (B, 1, H, W)
+    wyp = (y - y0)[:, None]
 
     x0i = x0.astype(jnp.int32)  # (B, H, W)
     y0i = y0.astype(jnp.int32)
+
+    def corners_to_triple(v00, v01, v10, v11):
+        v00 = v00.astype(jnp.float32)
+        v01 = v01.astype(jnp.float32)
+        v10 = v10.astype(jnp.float32)
+        v11 = v11.astype(jnp.float32)
+        dtop = v01 - v00
+        dbot = v11 - v10
+        top = v00 + dtop * wxp
+        bot = v10 + dbot * wxp
+        warped = top + (bot - top) * wyp
+        ddx = dtop + (dbot - dtop) * wyp
+        ddy = bot - top
+        return warped, ddx, ddy
 
     def make_fast(ymin, yl, yl_max, band_h, kern_version=None):
         def fast(_):
@@ -741,9 +865,8 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
             v = _fetch_corners(
                 planes, rep(x0i), rep(jnp.clip(yl, 0, yl_max)),
                 rep(ymin[..., None]), interpret=interpret,
-                version=kern_version or version, band_h=band_h)
-            # corners stay planar; the caller lerps planar, transposes ONCE
-            return tuple(a.reshape(b, c, h, w) for a in v)
+                version=kern_version or min(version, 5), band_h=band_h)
+            return corners_to_triple(*(a.reshape(b, c, h, w) for a in v))
 
         return fast
 
@@ -761,8 +884,9 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
 
         patches = jax.vmap(gather_one)(img, starts).reshape(
             b, h, w, 2, 2, c)
-        return tuple(jnp.moveaxis(patches[..., i, j, :], -1, 1)
-                     for i in (0, 1) for j in (0, 1))
+        return corners_to_triple(
+            *(jnp.moveaxis(patches[..., i, j, :], -1, 1)
+              for i in (0, 1) for j in (0, 1)))
 
     if version == 2:
         # 8-aligned mini-band start per output ROW; +1 y-tap must fit too
@@ -770,90 +894,144 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
         ymin = jnp.clip(ymin, 0, h - MB)
         span = jnp.max(y0i, axis=2) + 1 - ymin
         band_ok = jnp.all(span <= MB - 1)
-        fast = make_fast(ymin, y0i - ymin[..., None], MB - 2, None)
-        v00, v01, v10, v11 = jax.lax.cond(band_ok, fast, slow, operand=None)
+        fast = make_fast(ymin, y0i - ymin[..., None], MB - 2, None,
+                         kern_version=2)
+        return jax.lax.cond(band_ok, fast, slow, operand=None)
+
+    # 8-aligned band start per output row-BLOCK; try narrow band, then
+    # wide band, then the XLA fallback
+    y_blk = y0i.reshape(b, h // RB, RB * w)
+    blk_min = (jnp.min(y_blk, axis=2) // 8) * 8  # (B, H//RB)
+    blk_max = jnp.max(y_blk, axis=2)
+    if version >= 4:
+        # v4+ additionally need every x-tap within one group of its
+        # output column (|x - col| < LANE); otherwise fall back to the
+        # cond-guarded v3 kernel before the XLA path
+        col_group = (jnp.arange(w) // LANE)[None, None, :]
+        gdiff = x0i // LANE - col_group
+        shift_ok = jnp.logical_and(
+            jnp.all(gdiff >= -1),
+            jnp.all((x0i + 1) // LANE - col_group <= 1))
+        rungs = [(4 if version >= 6 else version, True), (3, False)]
     else:
-        # 8-aligned band start per output row-BLOCK; try narrow band, then
-        # wide band, then the XLA fallback
-        y_blk = y0i.reshape(b, h // RB, RB * w)
-        blk_min = (jnp.min(y_blk, axis=2) // 8) * 8  # (B, H//RB)
-        blk_max = jnp.max(y_blk, axis=2)
-        if version >= 4:
-            # v4/v5/v6 additionally need every x-tap within one group of its
-            # output column (|x - col| < LANE); otherwise fall back to the
-            # cond-guarded v3 kernel before the XLA path
-            col_group = (jnp.arange(w) // LANE)[None, None, :]
-            gdiff = x0i // LANE - col_group
-            shift_ok = jnp.logical_and(
-                jnp.all(gdiff >= -1),
-                jnp.all((x0i + 1) // LANE - col_group <= 1))
-            rungs = [(4 if version >= 6 else version, True), (3, False)]
+        rungs = [(version, False)]
+    band_h = min(BAND_H, h)
+    ymin = jnp.clip(blk_min, 0, h - band_h)
+    band_ok = jnp.all(blk_max + 1 - ymin <= band_h - 1)
+    yl = y0i - jnp.repeat(ymin, RB, axis=1)[..., None]
+    tail = slow
+    for kern_version, needs_shift in reversed(rungs):
+        ok = (jnp.logical_and(band_ok, shift_ok) if needs_shift
+              else band_ok)
+        fast = make_fast(ymin, yl, band_h - 2, band_h, kern_version)
+        tail = functools.partial(
+            lambda ok_, fast_, tail_, _: jax.lax.cond(
+                ok_, fast_, tail_, operand=None), ok, fast, tail)
+
+    if (version >= 7 and image.dtype == jnp.uint8 and h % RBP == 0
+            and h >= MB7 and w % LANE == 0):
+        # per-(row, chunk) miniband top rungs: uint8 sources only (bf16
+        # corners / raw-value arithmetic are exact for 0..255 values)
+        yb7 = y0i.reshape(b, h, w // LANE, LANE)
+        m7 = jnp.clip((jnp.min(yb7, axis=3) // 8) * 8, 0, h - MB7)
+        ok7 = jnp.all(jnp.max(yb7, axis=3) + 1 - m7 <= MB7 - 1)
+        ok7 = jnp.logical_and(ok7, shift_ok)
+        yl7 = jnp.clip(y0i - jnp.repeat(m7, LANE, axis=2), 0, MB7 - 2)
+        raw_img = jnp.moveaxis(image.astype(jnp.float32), -1, 1
+                               ).reshape(b, c * h, w)
+
+        if version >= 8:
+            def fast8(_):
+                return _warp_lerp_fused_v8(
+                    raw_img, x0i, yl7, m7,
+                    wxp[:, 0].astype(jnp.float32),
+                    wyp[:, 0].astype(jnp.float32), interpret=interpret)
         else:
-            rungs = [(version, False)]
-        band_h = min(BAND_H, h)
-        ymin = jnp.clip(blk_min, 0, h - band_h)
-        band_ok = jnp.all(blk_max + 1 - ymin <= band_h - 1)
-        yl = y0i - jnp.repeat(ymin, RB, axis=1)[..., None]
-        tail = slow
-        for kern_version, needs_shift in reversed(rungs):
-            ok = (jnp.logical_and(band_ok, shift_ok) if needs_shift
-                  else band_ok)
-            fast = make_fast(ymin, yl, band_h - 2, band_h,
-                             kern_version)
-            tail = functools.partial(
-                lambda ok_, fast_, tail_, _: jax.lax.cond(
-                    ok_, fast_, tail_, operand=None), ok, fast, tail)
-
-        if (version == 7 and image.dtype == jnp.uint8 and h % RBP == 0
-                and h >= MB7 and w % LANE == 0):
-            # per-(row, chunk) miniband top rung: uint8 sources only (bf16
-            # corners are exact for raw 0..255 values)
-            yb7 = y0i.reshape(b, h, w // LANE, LANE)
-            m7 = jnp.clip((jnp.min(yb7, axis=3) // 8) * 8, 0, h - MB7)
-            ok7 = jnp.all(jnp.max(yb7, axis=3) + 1 - m7 <= MB7 - 1)
-            ok7 = jnp.logical_and(ok7, shift_ok)
-            yl7 = jnp.clip(y0i - jnp.repeat(m7, LANE, axis=2), 0, MB7 - 2)
-
-            def fast7(_):
-                raw = jnp.moveaxis(image.astype(jnp.float32), -1, 1
-                                   ).reshape(b, c * h, w)
-                v = _fetch_corners_packed_v7(raw, x0i, yl7, m7,
+            def fast8(_):
+                v = _fetch_corners_packed_v7(raw_img, x0i, yl7, m7,
                                              interpret=interpret)
-                return tuple(a.reshape(b, c, h, w).astype(jnp.float32)
-                             * (1.0 / 255.0) for a in v)
+                return corners_to_triple(
+                    *(a.reshape(b, c, h, w).astype(jnp.float32)
+                      * (1.0 / 255.0) for a in v))
 
-            tail = functools.partial(
-                lambda ok_, fast_, tail_, _: jax.lax.cond(
-                    ok_, fast_, tail_, operand=None), ok7, fast7, tail)
-        if (version == 6 and image.dtype == jnp.uint8 and h % RBP == 0
-                and h >= band_h):
-            # channel-packed top rung: uint8 sources only (bf16 corners are
-            # exact for raw 0..255 values)
-            yb6 = y0i.reshape(b, h // RBP, RBP * w)
-            m6 = jnp.clip((jnp.min(yb6, axis=2) // 8) * 8, 0, h - band_h)
-            ok6 = jnp.all(jnp.max(yb6, axis=2) + 1 - m6 <= band_h - 1)
-            ok6 = jnp.logical_and(ok6, shift_ok)
-            yl6 = jnp.clip(y0i - jnp.repeat(m6, RBP, axis=1)[..., None],
-                           0, band_h - 2)
+        tail = functools.partial(
+            lambda ok_, fast_, tail_, _: jax.lax.cond(
+                ok_, fast_, tail_, operand=None), ok7, fast8, tail)
+    if (version == 6 and image.dtype == jnp.uint8 and h % RBP == 0
+            and h >= band_h):
+        # channel-packed top rung: uint8 sources only (bf16 corners are
+        # exact for raw 0..255 values)
+        yb6 = y0i.reshape(b, h // RBP, RBP * w)
+        m6 = jnp.clip((jnp.min(yb6, axis=2) // 8) * 8, 0, h - band_h)
+        ok6 = jnp.all(jnp.max(yb6, axis=2) + 1 - m6 <= band_h - 1)
+        ok6 = jnp.logical_and(ok6, shift_ok)
+        yl6 = jnp.clip(y0i - jnp.repeat(m6, RBP, axis=1)[..., None],
+                       0, band_h - 2)
 
-            def fast6(_):
-                raw = jnp.moveaxis(image.astype(jnp.float32), -1, 1
-                                   ).reshape(b, c * h, w)
-                v = _fetch_corners_packed(raw, x0i, yl6, m6[..., None],
-                                          band_h, interpret=interpret)
-                return tuple(a.reshape(b, c, h, w).astype(jnp.float32)
-                             * (1.0 / 255.0) for a in v)
+        def fast6(_):
+            raw = jnp.moveaxis(image.astype(jnp.float32), -1, 1
+                               ).reshape(b, c * h, w)
+            v = _fetch_corners_packed(raw, x0i, yl6, m6[..., None],
+                                      band_h, interpret=interpret)
+            return corners_to_triple(
+                *(a.reshape(b, c, h, w).astype(jnp.float32)
+                  * (1.0 / 255.0) for a in v))
 
-            tail = functools.partial(
-                lambda ok_, fast_, tail_, _: jax.lax.cond(
-                    ok_, fast_, tail_, operand=None), ok6, fast6, tail)
-        v00, v01, v10, v11 = tail(None)
-    v00, v01, v10, v11 = jax.lax.stop_gradient((v00, v01, v10, v11))
+        tail = functools.partial(
+            lambda ok_, fast_, tail_, _: jax.lax.cond(
+                ok_, fast_, tail_, operand=None), ok6, fast6, tail)
+    return tail(None)
 
-    # lerp channel-planar (B, C, H, W)
-    wxp = wx[..., 0][:, None]  # (B, 1, H, W)
-    wyp = wy[..., 0][:, None]
-    top = v00 + (v01 - v00) * wxp
-    bot = v10 + (v11 - v10) * wxp
-    out = top + (bot - top) * wyp
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sample_planar(version, interpret, image, x, y):
+    return _sample_impl(version, interpret, image, x, y)[0]
+
+
+def _sample_planar_fwd(version, interpret, image, x, y):
+    warped, ddx, ddy = _sample_impl(version, interpret, image, x, y)
+    return warped, (image, ddx, ddy)
+
+
+def _sample_planar_bwd(version, interpret, residuals, g):
+    image, ddx, ddy = residuals
+    gx = jnp.sum(g * ddx, axis=1)  # (B, H, W)
+    gy = jnp.sum(g * ddy, axis=1)
+    if jnp.issubdtype(image.dtype, jnp.integer):
+        import numpy as np
+        g_img = np.zeros(image.shape, jax.dtypes.float0)
+    else:
+        g_img = jnp.zeros_like(image)  # no image gradient (contract); DCEd
+    return g_img, gx, gy
+
+
+_sample_planar.defvjp(_sample_planar_fwd, _sample_planar_bwd)
+
+
+def grid_sample_fast(image, grid, interpret=False, planar_out=False,
+                     version=8):
+    """Bilinear sample with torch grid_sample(border, align_corners=True)
+    semantics; NO gradient to `image` (the corners are constants wrt the
+    objective; exact coordinate gradients via saved d/dwx, d/dwy planes).
+
+    image: (B, H, W, C) uint8 or float; grid: (B, H, W, 2) in [-1, 1].
+    Requires W % 128 == 0, H % 8 == 0 and H >= 16; callers use
+    ops.warp.grid_sample for other shapes. With ``planar_out`` the result
+    stays channel-planar (B, C, H, W) — the loss pipeline consumes planar,
+    so the NHWC round-trip is skipped entirely.
+
+    Runtime dispatch ladder (default): the lerp-fused channel-packed
+    miniband v8 kernel for uint8 sources when both the 16-row y-miniband
+    and the |x-shift|<128 window fit (typical depth+pose warps), else the
+    per-plane v4, else the cond-guarded v3 kernel for large motion (e.g.
+    strong stereo disparity or fast vertical pans), else the exact XLA
+    patch-gather — large motion degrades gracefully instead of falling off
+    a cliff. Measured on 1x v5e at 640x192x12x3: XLA 42.6 ms, v1 8.7,
+    v3 5.9, v4/v6 ~3.9, v7 2.84 ms/warp (corners + XLA lerp); v8 folds the
+    lerp into the kernel and emits gradient planes directly.
+    """
+    b, h, w, c = image.shape
+    x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+    y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+    out = _sample_planar(version, interpret, image, x, y)
     return out if planar_out else jnp.moveaxis(out, 1, -1)

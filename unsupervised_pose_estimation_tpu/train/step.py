@@ -268,6 +268,7 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
                 and per_shard_b >= 1):
             from ..ops.pallas.warp_kernel import grid_sample_fast
 
+            ver = cfg.pallas_warp_version
             if shards > 1:
                 # per-example kernel -> run per shard under shard_map; the
                 # sharding matches parallel.mesh.batch_sharding
@@ -278,20 +279,20 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
                 spec = P(batch_axes(mesh))
                 return jax.shard_map(
                     lambda s, c: grid_sample_fast(
-                        s, c, planar_out=True, interpret=interp),
+                        s, c, planar_out=True, interpret=interp,
+                        version=ver),
                     mesh=mesh, in_specs=(spec, spec), out_specs=spec,
                     check_vma=False)(src, coords)
             return grid_sample_fast(src, coords, planar_out=True,
-                                    interpret=interp)
+                                    interpret=interp, version=ver)
         scale = (1.0 / 255.0) if src.dtype == jnp.uint8 else 1.0
         return jnp.moveaxis(grid_sample(src, coords) * scale, -1, 1)
 
     if cfg.use_pallas_loss and not cfg.no_ssim:
-        from ..ops.pallas import reprojection_loss_pallas
+        from ..ops.pallas import reprojection_loss_pallas_planar
 
         def reproj_fn(pred_p, tgt_p, use_ssim=True):
-            return reprojection_loss_pallas(jnp.moveaxis(pred_p, 1, -1),
-                                            jnp.moveaxis(tgt_p, 1, -1))
+            return reprojection_loss_pallas_planar(pred_p, tgt_p)
     else:
         reproj_fn = L.reprojection_loss_planar
 
@@ -309,10 +310,13 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
     identity_shared = None
     if not cfg.disable_automasking and not cfg.v1_multiscale:
         target_p0 = jnp.moveaxis(color[0], -1, 1)
-        identity_shared = jnp.concatenate([
+        # identity reprojection depends only on input frames, never on
+        # params (trainer.py:608-618 computes it from raw colors):
+        # stop_gradient guarantees no SSIM backward graph for these calls
+        identity_shared = jax.lax.stop_gradient(jnp.concatenate([
             reproj_fn(jnp.moveaxis(color[f_i], -1, 1), target_p0,
                       use_ssim=not cfg.no_ssim)
-            for f_i in source_frames], axis=-1)
+            for f_i in source_frames], axis=-1))
 
     for s in cfg.scales:
         source_scale = s if cfg.v1_multiscale else 0
@@ -356,9 +360,9 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
             reprojs.append(
                 reproj_fn(warped_p, target_p, use_ssim=not cfg.no_ssim))
             if not cfg.disable_automasking and cfg.v1_multiscale:
-                identities.append(
+                identities.append(jax.lax.stop_gradient(
                     reproj_fn(jnp.moveaxis(pyr[f_i][source_scale], -1, 1),
-                              target_p, use_ssim=not cfg.no_ssim))
+                              target_p, use_ssim=not cfg.no_ssim)))
 
         reproj = jnp.concatenate(reprojs, axis=-1)  # (B, H, W, S)
 
