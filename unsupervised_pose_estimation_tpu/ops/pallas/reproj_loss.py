@@ -9,8 +9,10 @@ reduction never round-trip HBM. Reflect padding happens IN the kernel
 inputs arrive as plain (B, C, H, W) planes — no XLA pad materialisation of
 (H+2, W+2) copies per call. The jnp reference implementation
 (ops.losses.reprojection_loss_planar) remains the semantic ground truth; an
-interpret-mode test asserts agreement, and the backward pass is taken from
-the jnp formulation via custom_vjp (forward fused, backward XLA).
+interpret-mode test asserts agreement for BOTH directions: the forward map
+and the analytic Pallas backward (`_bwd_kernel`), which recomputes the five
+moments in VMEM and applies the closed-form SSIM adjoint instead of
+re-tracing the jnp graph through jax.vjp.
 """
 
 from __future__ import annotations
@@ -21,8 +23,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from .. import losses as L
 
 _SSIM_C1 = 0.01 ** 2
 _SSIM_C2 = 0.03 ** 2
@@ -74,6 +74,118 @@ def _kernel(inv_c: float, w: int, pred_ref, target_ref, out_ref):
         out_ref[:] = out_ref[:] + partial
 
 
+def _bwd_kernel(inv_c: float, w: int, pred_ref, target_ref, g_ref,
+                gp_ref, gt_ref):
+    """Analytic adjoint of `_kernel` for one (batch, channel) plane.
+
+    Instead of re-tracing the jnp formulation through `jax.vjp` (which
+    rebuilds the whole SSIM forward graph in the backward pass — five
+    padded window sums materialised per call), this recomputes the five
+    3x3 moments in VMEM and applies the closed-form chain rule:
+
+        d loss / d p = 0.15/C * sign(p - t) * g
+                     + W*(c_mu_p) + 2p * W*(c_sq) + t * W*(c_pt)
+
+    where W* is the adjoint of the reflect-padded 3x3 box mean and the
+    coefficient planes come from differentiating the SSIM rational wrt the
+    window moments S1=W(p), S3=W(p^2), S5=W(pt) (symmetrically for t).
+    The adjoint of reflect-pad-then-box is zero-pad box plus an extra
+    deposit on rows/cols 1 and n-2 from the two edge windows.
+    """
+    p = pred_ref[:]
+    t = target_ref[:]
+    g = g_ref[:]
+    h = p.shape[0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+
+    def win3(a):
+        ap = jnp.concatenate([a[1:2], a, a[-2:-1]], axis=0)
+        rows = ap[0:-2] + ap[1:-1] + ap[2:]
+        left = pltpu.roll(rows, 1, axis=1)
+        right = pltpu.roll(rows, w - 1, axis=1)
+        colsum = left + rows + right
+        colsum = jnp.where(col == 0, rows + 2.0 * right, colsum)
+        colsum = jnp.where(col == w - 1, rows + 2.0 * left, colsum)
+        return colsum * (1.0 / 9.0)
+
+    def adj3(gy):
+        # columns: out[j] = gy[j-1] + gy[j] + gy[j+1] (zero past edges),
+        # then the reflect deposits: col 1 += gy[:, 0], col w-2 += gy[:, -1]
+        nbr_r = pltpu.roll(gy, 1, axis=1)       # col j <- gy[j-1]
+        nbr_l = pltpu.roll(gy, w - 1, axis=1)   # col j <- gy[j+1]
+        s = gy + jnp.where(col == 0, 0.0, nbr_r) \
+            + jnp.where(col == w - 1, 0.0, nbr_l)
+        s = s + jnp.where(col == 1, gy[:, 0:1], 0.0)
+        s = s + jnp.where(col == w - 2, gy[:, w - 1:w], 0.0)
+        # rows: same with zero-padded sublane shifts + edge deposits
+        zero = jnp.zeros_like(s[0:1])
+        sz = jnp.concatenate([zero, s, zero], axis=0)  # (H+2, W)
+        out = sz[0:-2] + sz[1:-1] + sz[2:]
+        out = out + jnp.where(row == 1, s[0:1], 0.0)
+        out = out + jnp.where(row == h - 2, s[h - 1:h], 0.0)
+        return out * (1.0 / 9.0)
+
+    mu_p = win3(p)
+    mu_t = win3(t)
+    wp2 = win3(p * p)
+    wt2 = win3(t * t)
+    wpt = win3(p * t)
+    sigma_p = wp2 - mu_p * mu_p
+    sigma_t = wt2 - mu_t * mu_t
+    sigma_pt = wpt - mu_p * mu_t
+
+    n1 = 2.0 * mu_p * mu_t + _SSIM_C1
+    n2 = 2.0 * sigma_pt + _SSIM_C2
+    d1 = mu_p * mu_p + mu_t * mu_t + _SSIM_C1
+    d2 = sigma_p + sigma_t + _SSIM_C2
+    nn = n1 * n2
+    dd = d1 * d2
+
+    raw = (1.0 - nn / dd) * 0.5
+    live = jnp.logical_and(raw > 0.0, raw < 1.0)
+    gl = jnp.where(live, g * (0.85 * inv_c), 0.0)
+
+    inv_dd = 1.0 / dd
+    dl_dn = -0.5 * gl * inv_dd                 # d loss / d N
+    dl_dd = 0.5 * gl * nn * inv_dd * inv_dd    # d loss / d D
+
+    c_mu_p = dl_dn * 2.0 * mu_t * (n2 - n1) + dl_dd * 2.0 * mu_p * (d2 - d1)
+    c_mu_t = dl_dn * 2.0 * mu_p * (n2 - n1) + dl_dd * 2.0 * mu_t * (d2 - d1)
+    c_sq = dl_dd * d1           # coefficient of W(p^2) and of W(t^2)
+    c_pt = dl_dn * 2.0 * n1     # coefficient of W(pt)
+
+    a_mu_p = adj3(c_mu_p)
+    a_mu_t = adj3(c_mu_t)
+    a_sq = adj3(c_sq)
+    a_pt = adj3(c_pt)
+
+    l1g = (0.15 * inv_c) * g * jnp.sign(p - t)
+    gp_ref[:] = l1g + a_mu_p + 2.0 * p * a_sq + t * a_pt
+    gt_ref[:] = -l1g + a_mu_t + 2.0 * t * a_sq + p * a_pt
+
+
+def _backward(pred_p, target_p, g, interpret=False):
+    """pred/target (B, C, H, W) f32, upstream g (B, H, W) f32 ->
+    (g_pred, g_target) channel-planar (B, C, H, W) f32."""
+    b, c, h, w = pred_p.shape
+    plane = pl.BlockSpec((None, None, h, w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    gp, gt = pl.pallas_call(
+        functools.partial(_bwd_kernel, 1.0 / c, w),
+        grid=(b, c),
+        in_specs=[plane, plane,
+                  pl.BlockSpec((None, h, w), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(plane, plane),
+        out_shape=(jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((b, c, h, w), jnp.float32)),
+        interpret=interpret,
+    )(pred_p, target_p, g)
+    return gp, gt
+
+
 def _forward(pred_p, target_p, interpret=False):
     """pred/target channel-planar (B, C, H, W) -> (B, H, W, 1)."""
     b, c, h, w = pred_p.shape
@@ -111,11 +223,10 @@ def _fwd(pred_p, target_p, interpret):
 
 def _bwd(interpret, residuals, g):
     pred_p, target_p = residuals
-    # gradient of the mathematically-identical jnp formulation
-    _, vjp = jax.vjp(
-        lambda p, t: L.reprojection_loss_planar(p, t, use_ssim=True),
-        pred_p, target_p)
-    return vjp(g)
+    gp, gt = _backward(pred_p.astype(jnp.float32),
+                       target_p.astype(jnp.float32),
+                       g[..., 0].astype(jnp.float32), interpret)
+    return gp.astype(pred_p.dtype), gt.astype(target_p.dtype)
 
 
 reprojection_loss_pallas_planar.defvjp(_fwd, _bwd)
