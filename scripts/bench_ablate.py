@@ -7,14 +7,21 @@ scripts/profile_step.py (which times pieces in isolation and therefore
 carries a ~2.5 ms/dispatch tunnel floor per measurement).
 
 Variants:
-  full             the bench.py configuration (pallas warp + pallas loss)
+  full             the bench.py configuration (defaults: pallas warp v8,
+                   XLA loss)
+  pallas_loss      use_pallas_loss=True   -> fused Pallas SSIM+L1 fwd+bwd
   xla_warp         use_pallas_warp=False  -> XLA patch-gather warp
-  xla_loss         use_pallas_loss=False  -> XLA SSIM+L1
   no_automask      disable_automasking    -> no identity reprojection
   scale0_only      scales=[0]             -> 1 warp per source frame
   fwd_only         loss value without grad/optimizer (networks fwd + warp)
+
+The pooled chip shows bursty multi-minute external contention, so variants
+are timed INTERLEAVED (round-robin windows, best window per variant) —
+sequential per-variant blocks would attribute a contention phase to
+whichever variant was unlucky enough to run inside it.
 """
 
+import functools
 import time
 
 import jax
@@ -27,20 +34,6 @@ H, W, B = 192, 640, 12
 def _sync(out):
     leaf = jax.tree_util.tree_leaves(out)[0]
     float(jnp.sum(leaf))
-
-
-def timeit(fn, *args, n=10, warmup=2, best_of=5):
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
-    best = float("inf")
-    for _ in range(best_of):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        _sync(out)
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
 
 
 def build(cfg_kwargs):
@@ -69,32 +62,52 @@ def main():
 
     variants = [
         ("full", {}),
+        ("pallas_loss", {"use_pallas_loss": True}),
         ("xla_warp", {"use_pallas_warp": False}),
-        ("xla_loss", {"use_pallas_loss": False}),
         ("no_automask", {"disable_automasking": True}),
         ("scale0_only", {"scales": [0]}),
     ]
-    base = None
+    runners = []
     for name, kw in variants:
         bundle, state, step = build(kw)
-        t = timeit(lambda: step(state, batch, key)[1]["loss"])
-        delta = "" if base is None else f"  (delta {1e3*(t-base):+7.2f} ms)"
-        if base is None:
-            base = t
-        print(f"{name:14s} {t*1e3:8.2f} ms{delta}", flush=True)
+        runners.append((name, functools.partial(
+            lambda st, s, b_, k: s(st, b_, k)[1]["loss"],
+            state, step, batch, key)))
 
     # forward-only (loss value, no grad): same full config
     from unsupervised_pose_estimation_tpu.train.step import forward_and_loss
     bundle, state, _ = build({})
 
     @jax.jit
-    def fwd(params, stats, b_, k):
+    def fwd(params=state.params, stats=state.batch_stats, b_=batch, k=key):
         return forward_and_loss(bundle, params, stats, state.frozen, b_, k,
                                 train=True)[0]
 
-    t = timeit(lambda: fwd(state.params, state.batch_stats, batch, key))
-    print(f"{'fwd_only':14s} {t*1e3:8.2f} ms  (bwd+opt = "
-          f"{1e3*(base-t):+7.2f} ms)", flush=True)
+    runners.append(("fwd_only", fwd))
+
+    # compile + warm every variant, then interleave timed windows
+    best = {}
+    for name, fn in runners:
+        _sync(fn())
+        best[name] = float("inf")
+    n = 8
+    for rnd in range(5):
+        for name, fn in runners:
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn()
+            _sync(out)
+            best[name] = min(best[name], (time.perf_counter() - t0) / n)
+        print(f"-- round {rnd}: " + "  ".join(
+            f"{k}={v*1e3:.1f}" for k, v in best.items()), flush=True)
+
+    base = best["full"]
+    for name, _ in runners:
+        t = best[name]
+        delta = "" if name == "full" else f"  (delta {1e3*(t-base):+7.2f} ms)"
+        extra = (f"  (bwd+opt = {1e3*(base-t):+7.2f} ms)"
+                 if name == "fwd_only" else delta)
+        print(f"{name:14s} {t*1e3:8.2f} ms{extra}", flush=True)
 
 
 if __name__ == "__main__":

@@ -8,8 +8,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual device threads share ONE physical core here: XLA:CPU's
+# collective rendezvous defaults (warn 20 s, LOG(FATAL) at 40 s) are tuned
+# for real multi-core hosts and flakily abort the whole pytest process when
+# the scheduler starves two device threads past the terminate timeout
+# (observed on collective-permute; pytest's capture swallowed the F-lines).
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
