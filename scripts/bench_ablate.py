@@ -22,6 +22,7 @@ whichever variant was unlucky enough to run inside it.
 """
 
 import functools
+import os
 import time
 
 import jax
@@ -64,9 +65,14 @@ def main():
         ("full", {}),
         ("pallas_loss", {"use_pallas_loss": True}),
         ("xla_warp", {"use_pallas_warp": False}),
+        ("warp_v7", {"pallas_warp_version": 7}),
         ("no_automask", {"disable_automasking": True}),
         ("scale0_only", {"scales": [0]}),
     ]
+    only = os.environ.get("ABLATE_ONLY")
+    if only:
+        keep = set(only.split(","))
+        variants = [(n, kw) for n, kw in variants if n in keep]
     runners = []
     for name, kw in variants:
         bundle, state, step = build(kw)
@@ -83,12 +89,37 @@ def main():
         return forward_and_loss(bundle, params, stats, state.frozen, b_, k,
                                 train=True)[0]
 
-    runners.append(("fwd_only", fwd))
+    if not only or "fwd_only" in only:
+        runners.append(("fwd_only", fwd))
+
+    # eval_bn: the FULL step (grads + adam) but with BatchNorm in inference
+    # mode — isolates the train-mode batch-stat reductions (mean/var over
+    # every conv output, f32) plus their backward, inside the same program.
+    from unsupervised_pose_estimation_tpu.train.state import make_optimizer
+
+    tx = make_optimizer(bundle.cfg.learning_rate)
+
+    @jax.jit
+    def eval_bn_step(st=state, b_=batch, k=key):
+        def loss_fn(params):
+            return forward_and_loss(bundle, params, st.batch_stats,
+                                    st.frozen, b_, k, train=False)[0]
+
+        grads = jax.grad(loss_fn)(st.params)
+        updates, _ = tx.update(grads, st.opt_state, st.params)
+        import optax
+        return optax.apply_updates(st.params, updates)
+
+    if not only or "eval_bn" in only:
+        runners.append(("eval_bn", eval_bn_step))
 
     # compile + warm every variant, then interleave timed windows
     best = {}
     for name, fn in runners:
+        t0 = time.perf_counter()
         _sync(fn())
+        print(f"compiled {name} in {time.perf_counter() - t0:.0f}s",
+              flush=True)
         best[name] = float("inf")
     n = 8
     for rnd in range(5):

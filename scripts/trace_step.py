@@ -1,0 +1,144 @@
+"""Capture an XProf trace of the fused train step and print a top-op table.
+
+Runs a few steps under ``jax.profiler.trace`` on the live backend, then
+parses the dumped ``*.xplane.pb`` with TensorFlow's xplane proto (no
+TensorBoard UI on this box) and aggregates per-op self-time on the device
+planes. This is the data source for the step-budget ledger in ROADMAP.md —
+the marginal-cost ablation (scripts/bench_ablate.py) gives component deltas,
+this gives the op-level breakdown inside one compiled program.
+"""
+
+import collections
+import glob
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, W, B = 192, 640, 12
+TRACE_DIR = os.environ.get("TRACE_DIR", "/tmp/xprof_step")
+
+
+def build():
+    from unsupervised_pose_estimation_tpu.config import Options
+    from unsupervised_pose_estimation_tpu.train.bundle import ModelBundle
+    from unsupervised_pose_estimation_tpu.train.state import \
+        create_train_state
+    from unsupervised_pose_estimation_tpu.train.step import build_train_step
+
+    cfg = Options(height=H, width=W, batch_size=B, compute_dtype="bfloat16",
+                  weights_init="scratch").validate()
+    bundle = ModelBundle.create(cfg)
+    state = create_train_state(bundle, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    step = build_train_step(bundle, donate=False)
+    rng = np.random.default_rng(0)
+    u8 = jnp.asarray(rng.integers(0, 256, size=(B, 3, H, W, 3)), jnp.uint8)
+    batch = {"color": u8, "color_aug": u8,
+             "K_norm": jnp.tile(jnp.asarray(
+                 [[0.635, 0, 0.48, 0], [0, 0.634, 0.5, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], jnp.float32), (B, 1, 1))}
+    return step, state, batch
+
+
+def capture(n_steps=3):
+    step, state, batch = build()
+    key = jax.random.PRNGKey(1)
+    print("compiling...", file=sys.stderr)
+    state, losses = step(state, batch, key)
+    float(losses["loss"])  # value fetch: the only sync on the axon backend
+    t0 = time.perf_counter()
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(n_steps):
+            state, losses = step(state, batch, key)
+        final = float(losses["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+    print(f"traced {n_steps} steps, {dt * 1e3:.1f} ms/step, loss={final:.4f}",
+          file=sys.stderr)
+
+
+def report(top=40):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(
+        TRACE_DIR, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime)
+    if not paths:
+        print("no xplane.pb found under", TRACE_DIR)
+        return 1
+    path = paths[-1]
+    space = xplane_pb2.XSpace()
+    with open(path, "rb") as fh:
+        space.ParseFromString(fh.read())
+
+    print(f"planes in {os.path.basename(path)}:")
+    for plane in space.planes:
+        total_ev = sum(len(line.events) for line in plane.lines)
+        print(f"  {plane.name}: {len(plane.lines)} lines, {total_ev} events")
+
+    def category(nm):
+        base = nm.lstrip("%").split(" ", 1)[0].split(".")[0].split("(")[0]
+        for key in ("fusion", "convolution", "copy-start", "copy-done",
+                    "copy", "conditional", "branch", "custom-call",
+                    "dynamic-slice", "dynamic-update-slice", "reduce",
+                    "transpose", "bitcast", "all-reduce", "select",
+                    "scatter", "gather", "convert", "broadcast", "iota",
+                    "dot", "slice", "concatenate", "pad", "reshape"):
+            if base.startswith(key) or key in base:
+                return key
+        return base
+
+    for plane in space.planes:
+        name = plane.name.lower()
+        if "tpu" not in name and "device" not in name:
+            continue
+        ev_names = dict(plane.event_metadata.items())
+
+        # self-time per event: duration minus directly-nested children on
+        # the same line (events are intervals; nesting = containment)
+        selfagg = collections.Counter()
+        cnt = collections.Counter()
+        cat = collections.Counter()
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue  # Steps/Modules duplicate totals; Async overlaps
+            evs = sorted(line.events,
+                         key=lambda e: (e.offset_ps, -e.duration_ps))
+            stack = []  # (end_ps, child_ps accumulator index)
+            child = [0] * len(evs)
+            idx_stack = []
+            for i, ev in enumerate(evs):
+                start, end = ev.offset_ps, ev.offset_ps + ev.duration_ps
+                while idx_stack and evs[idx_stack[-1]].offset_ps + \
+                        evs[idx_stack[-1]].duration_ps <= start:
+                    idx_stack.pop()
+                if idx_stack:
+                    child[idx_stack[-1]] += ev.duration_ps
+                idx_stack.append(i)
+            for i, ev in enumerate(evs):
+                meta = ev_names.get(ev.metadata_id)
+                nm = meta.name if meta else str(ev.metadata_id)
+                ms = max(0, ev.duration_ps - child[i]) / 1e9
+                selfagg[nm] += ms
+                cnt[nm] += 1
+                cat[category(nm)] += ms
+        if not selfagg:
+            continue
+        total = sum(selfagg.values())
+        print(f"\n== plane {plane.name}: {total:.2f} ms total SELF time ==")
+        print("-- by category --")
+        for nm, ms in cat.most_common(25):
+            print(f"  {ms:9.3f} ms  {nm}")
+        print("-- top ops by self time --")
+        for nm, ms in selfagg.most_common(top):
+            print(f"  {ms:9.3f} ms  x{cnt[nm]:<5d} {nm[:110]}")
+    return 0
+
+
+if __name__ == "__main__":
+    if "--report-only" not in sys.argv:
+        capture()
+    sys.exit(report())
