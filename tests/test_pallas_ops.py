@@ -123,6 +123,39 @@ def test_v8_lerp_fused_kernel_gradients(rng_np):
                                atol=1e-5)
 
 
+def test_v8_narrow_and_wide_miniband_rungs(rng_np):
+    """Both v8 rungs must match the XLA reference: the narrow mb=8 rung
+    (tiny y-span) and the mb=16 rung, forced by a horizontal shear whose
+    per-(row, 128-chunk) y-span is ~10 rows (> 8-row band, < 16)."""
+    from unsupervised_pose_estimation_tpu.ops.pallas.warp_kernel import \
+        grid_sample_fast
+    from unsupervised_pose_estimation_tpu.ops.warp import grid_sample
+
+    B, H, W, C = 1, 64, 128, 3
+    img8 = rng_np.integers(0, 255, size=(B, H, W, C)).astype(np.uint8)
+    xs, ys = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H),
+                         indexing="xy")
+    base = np.stack([xs, ys], -1)[None].astype(np.float32)
+    shear = base.copy()  # y displacement ramps 0 -> 10 px across each row
+    shear[..., 1] += (10.0 * (xs + 1) / 2)[None] * (2.0 / (H - 1))
+
+    for grid_np in (base + rng_np.uniform(-0.02, 0.02, size=base.shape
+                                          ).astype(np.float32),
+                    shear.astype(np.float32)):
+        g = jnp.asarray(grid_np)
+        ref = grid_sample(jnp.asarray(img8), g) / 255.0
+        fast = grid_sample_fast(jnp.asarray(img8), g, interpret=True,
+                                version=8)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=1e-6)
+        ga = jax.grad(lambda gg: jnp.sum(
+            (grid_sample(jnp.asarray(img8), gg) / 255.0) ** 2))(g)
+        gb = jax.grad(lambda gg: jnp.sum(grid_sample_fast(
+            jnp.asarray(img8), gg, interpret=True, version=8) ** 2))(g)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_warp_kernel_vertical_motion_stays_banded(rng_np):
     """v2 per-row mini-bands: a LARGE pure-vertical shift (y displacement
     far beyond one band of the v1 block layout) still takes the fast path

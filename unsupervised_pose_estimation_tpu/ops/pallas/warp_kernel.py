@@ -522,6 +522,7 @@ def _corner_kernel_v6(h: int, w: int, c: int, band_h: int, src_ref, x0_ref,
 
 
 MB7 = 16  # v7 miniband rows per (output row, column chunk); 8-aligned start
+MB8 = 8   # narrow v8 miniband (top dispatch rung): y-span must fit 8 rows
 
 
 def _corner_kernel_v7(h: int, w: int, c: int, src_ref, x0_ref, yl_ref,
@@ -601,8 +602,9 @@ def _corner_kernel_v7(h: int, w: int, c: int, src_ref, x0_ref, yl_ref,
     jax.lax.fori_loop(0, h // RBP, block_body, 0)
 
 
-def _warp_lerp_kernel_v8(h: int, w: int, c: int, src_ref, x0_ref, yl_ref,
-                         ymin_ref, wx_ref, wy_ref, out_ref, dx_ref, dy_ref):
+def _warp_lerp_kernel_v8(h: int, w: int, c: int, mb: int, src_ref, x0_ref,
+                         yl_ref, ymin_ref, wx_ref, wy_ref, out_ref, dx_ref,
+                         dy_ref):
     """v8: v7's channel-packed miniband corner fetch + IN-KERNEL bilinear
     lerp. The four corner planes never leave VMEM: the kernel emits the
     warped image and the two exact coordinate-gradient planes
@@ -614,15 +616,19 @@ def _warp_lerp_kernel_v8(h: int, w: int, c: int, src_ref, x0_ref, yl_ref,
     the row dimension (fetched once per batch element); coordinate/weight
     inputs and the three outputs stream in RBP-row blocks.
 
+    ``mb`` is the miniband height (16, or 8 when every (row, chunk)'s
+    y-span fits 8 rows): the masked y-reduction — the kernel's dominant
+    VPU cost — runs on (C*mb, LANE) tiles, so halving mb halves it.
+
     src: (C*H, W) f32 raw-u8-valued (full plane); x0/yl/wx/wy: (RBP, W)
     blocks; ymin: (RBP, W//LANE) i32 SMEM; outs: 3x (C, RBP, W) f32 scaled
     to [0, 1] (x 1/255 folded in here).
     """
     n_groups = w // LANE
-    cb = c * MB7
+    cb = c * mb
     inv255 = 1.0 / 255.0
 
-    rows_local = jax.lax.broadcasted_iota(jnp.int32, (cb, LANE), 0) % MB7
+    rows_local = jax.lax.broadcasted_iota(jnp.int32, (cb, LANE), 0) % mb
     sel_rows = jax.lax.broadcasted_iota(jnp.int32, (RBP, LANE), 0)
 
     x0_blk = x0_ref[:]  # (RBP, W)
@@ -649,21 +655,21 @@ def _warp_lerp_kernel_v8(h: int, w: int, c: int, src_ref, x0_ref, yl_ref,
             acc = [jnp.zeros((c, LANE), jnp.float32) for _ in range(4)]
             for g in range(max(0, cc - 1), min(n_groups, cc + 2)):
                 band = jnp.concatenate(
-                    [src_ref[pl.ds(ch * h + start, MB7),
+                    [src_ref[pl.ds(ch * h + start, mb),
                              g * LANE:(g + 1) * LANE]
-                     for ch in range(c)], axis=0)  # (C*MB7, 128)
+                     for ch in range(c)], axis=0)  # (C*mb, 128)
                 part0 = jnp.take_along_axis(band, w0, axis=1)
                 part1 = jnp.take_along_axis(band, w1, axis=1)
                 s0 = jnp.broadcast_to(g0[i:i + 1] == g, (cb, LANE))
                 s1 = jnp.broadcast_to(g1[i:i + 1] == g, (cb, LANE))
                 acc[0] += jnp.sum(jnp.where(m0 & s0, part0, 0.0
-                                            ).reshape(c, MB7, LANE), 1)
+                                            ).reshape(c, mb, LANE), 1)
                 acc[1] += jnp.sum(jnp.where(m0 & s1, part1, 0.0
-                                            ).reshape(c, MB7, LANE), 1)
+                                            ).reshape(c, mb, LANE), 1)
                 acc[2] += jnp.sum(jnp.where(m1 & s0, part0, 0.0
-                                            ).reshape(c, MB7, LANE), 1)
+                                            ).reshape(c, mb, LANE), 1)
                 acc[3] += jnp.sum(jnp.where(m1 & s1, part1, 0.0
-                                            ).reshape(c, MB7, LANE), 1)
+                                            ).reshape(c, mb, LANE), 1)
             # bilinear lerp on the VMEM-resident corners (c, LANE)
             wxr = wx_blk[i:i + 1, cs]  # (1, LANE)
             wyr = wy_blk[i:i + 1, cs]
@@ -689,14 +695,15 @@ def _warp_lerp_kernel_v8(h: int, w: int, c: int, src_ref, x0_ref, yl_ref,
             dy_ref[ch, :, cs] = outs[2][ch] * inv255
 
 
-def _warp_lerp_fused_v8(src, x0i, yl, ymin, wx, wy, interpret=False):
+def _warp_lerp_fused_v8(src, x0i, yl, ymin, wx, wy, mb=MB7,
+                        interpret=False):
     """src (B, C*H, W) raw-u8-valued f32; x0i/yl (B, H, W) i32;
     ymin (B, H, W//LANE) i32; wx/wy (B, H, W) f32
     -> (warped, ddx, ddy) each (B, C, H, W) f32 scaled to [0, 1]."""
     b, ch_, w = src.shape
     h = x0i.shape[1]
     c = ch_ // h
-    kernel = functools.partial(_warp_lerp_kernel_v8, h, w, c)
+    kernel = functools.partial(_warp_lerp_kernel_v8, h, w, c, mb)
     vm = pltpu.VMEM
     row_spec = pl.BlockSpec((None, RBP, w), lambda i, r: (i, r, 0),
                             memory_space=vm)
@@ -933,19 +940,22 @@ def _sample_impl(version, interpret, image, x, y):
         # per-(row, chunk) miniband top rungs: uint8 sources only (bf16
         # corners / raw-value arithmetic are exact for 0..255 values)
         yb7 = y0i.reshape(b, h, w // LANE, LANE)
-        m7 = jnp.clip((jnp.min(yb7, axis=3) // 8) * 8, 0, h - MB7)
-        ok7 = jnp.all(jnp.max(yb7, axis=3) + 1 - m7 <= MB7 - 1)
+        y_mn = jnp.min(yb7, axis=3)  # (B, H, W//LANE), shared by the rungs
+        y_mx = jnp.max(yb7, axis=3)
+        m7 = jnp.clip((y_mn // 8) * 8, 0, h - MB7)
+        ok7 = jnp.all(y_mx + 1 - m7 <= MB7 - 1)
         ok7 = jnp.logical_and(ok7, shift_ok)
         yl7 = jnp.clip(y0i - jnp.repeat(m7, LANE, axis=2), 0, MB7 - 2)
         raw_img = jnp.moveaxis(image.astype(jnp.float32), -1, 1
                                ).reshape(b, c * h, w)
 
         if version >= 8:
+            wx_f = wxp[:, 0].astype(jnp.float32)
+            wy_f = wyp[:, 0].astype(jnp.float32)
+
             def fast8(_):
-                return _warp_lerp_fused_v8(
-                    raw_img, x0i, yl7, m7,
-                    wxp[:, 0].astype(jnp.float32),
-                    wyp[:, 0].astype(jnp.float32), interpret=interpret)
+                return _warp_lerp_fused_v8(raw_img, x0i, yl7, m7, wx_f,
+                                           wy_f, interpret=interpret)
         else:
             def fast8(_):
                 v = _fetch_corners_packed_v7(raw_img, x0i, yl7, m7,
@@ -957,6 +967,26 @@ def _sample_impl(version, interpret, image, x, y):
         tail = functools.partial(
             lambda ok_, fast_, tail_, _: jax.lax.cond(
                 ok_, fast_, tail_, operand=None), ok7, fast8, tail)
+
+        if version >= 8:
+            # narrow (8-row) miniband top rung: the masked y-reduction —
+            # the kernel's dominant VPU cost — runs on half the tile rows.
+            # Eligible when every (row, 128-chunk)'s y-span (incl. the +1
+            # tap) fits 8 rows after 8-alignment: true for the small,
+            # smooth inter-frame motion that dominates training.
+            m8 = jnp.clip((y_mn // 8) * 8, 0, h - MB8)
+            ok8 = jnp.logical_and(jnp.all(y_mx + 1 - m8 <= MB8 - 1),
+                                  shift_ok)
+            yl8 = jnp.clip(y0i - jnp.repeat(m8, LANE, axis=2), 0, MB8 - 2)
+
+            def fast8s(_):
+                return _warp_lerp_fused_v8(raw_img, x0i, yl8, m8, wx_f,
+                                           wy_f, mb=MB8,
+                                           interpret=interpret)
+
+            tail = functools.partial(
+                lambda ok_, fast_, tail_, _: jax.lax.cond(
+                    ok_, fast_, tail_, operand=None), ok8, fast8s, tail)
     if (version == 6 and image.dtype == jnp.uint8 and h % RBP == 0
             and h >= band_h):
         # channel-packed top rung: uint8 sources only (bf16 corners are
