@@ -522,7 +522,6 @@ def _corner_kernel_v6(h: int, w: int, c: int, band_h: int, src_ref, x0_ref,
 
 
 MB7 = 16  # v7 miniband rows per (output row, column chunk); 8-aligned start
-MB8 = 8   # narrow v8 miniband (top dispatch rung): y-span must fit 8 rows
 
 
 def _corner_kernel_v7(h: int, w: int, c: int, src_ref, x0_ref, yl_ref,
@@ -968,25 +967,14 @@ def _sample_impl(version, interpret, image, x, y):
             lambda ok_, fast_, tail_, _: jax.lax.cond(
                 ok_, fast_, tail_, operand=None), ok7, fast8, tail)
 
-        if version >= 8:
-            # narrow (8-row) miniband top rung: the masked y-reduction —
-            # the kernel's dominant VPU cost — runs on half the tile rows.
-            # Eligible when every (row, 128-chunk)'s y-span (incl. the +1
-            # tap) fits 8 rows after 8-alignment: true for the small,
-            # smooth inter-frame motion that dominates training.
-            m8 = jnp.clip((y_mn // 8) * 8, 0, h - MB8)
-            ok8 = jnp.logical_and(jnp.all(y_mx + 1 - m8 <= MB8 - 1),
-                                  shift_ok)
-            yl8 = jnp.clip(y0i - jnp.repeat(m8, LANE, axis=2), 0, MB8 - 2)
-
-            def fast8s(_):
-                return _warp_lerp_fused_v8(raw_img, x0i, yl8, m8, wx_f,
-                                           wy_f, mb=MB8,
-                                           interpret=interpret)
-
-            tail = functools.partial(
-                lambda ok_, fast_, tail_, _: jax.lax.cond(
-                    ok_, fast_, tail_, operand=None), ok8, fast8s, tail)
+        # NOTE a narrower 8-row miniband rung (half the masked y-reduction
+        # rows) was tried and removed: Mosaic requires 8-aligned sublane
+        # starts for the f32 vector loads, and an 8-row band over an
+        # 8-aligned start has ZERO slack, so a full-height warp (which
+        # covers every y%8 phase) always has a 128-chunk whose 2-row span
+        # crosses an 8-boundary — the all()-gated rung can never fire.
+        # 4-aligned starts fix eligibility but fail Mosaic's alignment
+        # proof ("index in dimension 1 is a multiple of 8").
     if (version == 6 and image.dtype == jnp.uint8 and h % RBP == 0
             and h >= band_h):
         # channel-packed top rung: uint8 sources only (bf16 corners are
