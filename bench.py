@@ -257,6 +257,34 @@ def main() -> int:
         peak = _peak_flops(meta.get("device_kind", ""))
         if peak:
             record["mfu"] = round(step_flops * (fps / BATCH) / peak, 4)
+
+    # Best-effort XProf device self-time: the pooled chip is time-shared at
+    # coarse granularity (BASELINE.md r3 row), so when wall-clock windows
+    # read far above the program's device time, also report the
+    # contention-free number. Strictly optional: any failure or timeout
+    # leaves the record exactly as above.
+    try:
+        if record["ms_per_step"] > 120.0:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "trace_step.py"), "--json"],
+                capture_output=True, text=True,
+                timeout=max(60.0, deadline - time.monotonic() + 300.0))
+            for line in reversed(out.stdout.strip().splitlines()):
+                try:
+                    dev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                dev_ms = float(dev["device_ms_per_step"])
+                record["device_ms_per_step"] = round(dev_ms, 1)
+                if step_flops and _peak_flops(meta.get("device_kind", "")):
+                    record["mfu_device"] = round(
+                        step_flops / (dev_ms * 1e-3)
+                        / _peak_flops(meta["device_kind"]), 4)
+                break
+    except Exception:
+        pass
     print(json.dumps(record))
     return 0
 

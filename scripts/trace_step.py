@@ -138,7 +138,41 @@ def report(top=40):
     return 0
 
 
+def device_ms_per_step(n_steps=3):
+    """Capture a fresh trace and return total device SELF time / step (ms).
+
+    The pooled chip is time-shared at coarse granularity (BASELINE.md r3
+    row), so wall-clock ms/step can read several-fold worse than the
+    program's own device time; this is the contention-free number.
+    """
+    import io
+    from contextlib import redirect_stdout
+
+    capture(n_steps)
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: F401
+
+    # reuse report()'s parser but only keep the machine-readable total
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = report(top=0)
+    if rc != 0:
+        raise RuntimeError("no xplane.pb produced")
+    for line in buf.getvalue().splitlines():
+        if "total SELF time" in line and "/device:" in line:
+            total_ms = float(line.split(":")[-1].split("ms")[0])
+            return total_ms / n_steps
+    raise RuntimeError("device plane not found in trace report")
+
+
 if __name__ == "__main__":
+    if "--json" in sys.argv:
+        import json
+
+        n = 3
+        print(json.dumps(
+            {"device_ms_per_step": round(device_ms_per_step(n), 2),
+             "n_steps": n}))
+        sys.exit(0)
     if "--report-only" not in sys.argv:
         capture()
     sys.exit(report())
