@@ -8,8 +8,9 @@ carries a ~2.5 ms/dispatch tunnel floor per measurement).
 
 Variants:
   full             the bench.py configuration (defaults: pallas warp v8,
-                   XLA loss)
-  pallas_loss      use_pallas_loss=True   -> fused Pallas SSIM+L1 fwd+bwd
+                   fused Pallas loss)
+  xla_loss         use_pallas_loss=False  -> XLA SSIM+L1 (the pre-r3
+                   default; the fused Pallas kernel is now on by default)
   xla_warp         use_pallas_warp=False  -> XLA patch-gather warp
   no_automask      disable_automasking    -> no identity reprojection
   scale0_only      scales=[0]             -> 1 warp per source frame
@@ -63,7 +64,7 @@ def main():
 
     variants = [
         ("full", {}),
-        ("pallas_loss", {"use_pallas_loss": True}),
+        ("xla_loss", {"use_pallas_loss": False}),
         ("xla_warp", {"use_pallas_warp": False}),
         ("warp_v7", {"pallas_warp_version": 7}),
         ("no_automask", {"disable_automasking": True}),

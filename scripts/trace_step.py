@@ -29,8 +29,14 @@ def build():
         create_train_state
     from unsupervised_pose_estimation_tpu.train.step import build_train_step
 
+    # TRACE_CFG: JSON dict of Options overrides, e.g.
+    # TRACE_CFG='{"use_pallas_loss": true}' — device-time A/B of step
+    # variants is immune to the pool's coarse time-slicing, unlike
+    # wall-clock interleaving (scripts/bench_ablate.py).
+    import json as _json
+    overrides = _json.loads(os.environ.get("TRACE_CFG", "{}"))
     cfg = Options(height=H, width=W, batch_size=B, compute_dtype="bfloat16",
-                  weights_init="scratch").validate()
+                  weights_init="scratch", **overrides).validate()
     bundle = ModelBundle.create(cfg)
     state = create_train_state(bundle, jax.random.PRNGKey(0),
                                cfg.learning_rate)

@@ -245,3 +245,46 @@ def test_step_warp_dispatch_branch_on_sharded_mesh(rng_np):
         np.testing.assert_allclose(float(losses_p[name]),
                                    float(losses_x[name]), rtol=1e-4,
                                    err_msg=name)
+
+
+def test_step_loss_dispatch_branch_on_sharded_mesh(rng_np):
+    """The TRAIN STEP's fused Pallas reprojection-loss dispatch (now the
+    default, train/step.py reproj_fn), through the shard_map branch on the
+    8-device CPU mesh at a kernel-eligible 32x128 feed: losses must match
+    the XLA loss step. Mirrors the warp-dispatch test above (the loss
+    kernel became the default after the analytic backward made it a
+    10 ms/step device-time win; this guards the dispatch + sharding)."""
+    from unsupervised_pose_estimation_tpu.config import Options
+    from unsupervised_pose_estimation_tpu.data import SyntheticDataset
+    from unsupervised_pose_estimation_tpu.parallel.mesh import (
+        batch_sharding, make_mesh)
+    from unsupervised_pose_estimation_tpu.train.bundle import ModelBundle
+    from unsupervised_pose_estimation_tpu.train.state import \
+        create_train_state
+    from unsupervised_pose_estimation_tpu.train.step import build_eval_step
+
+    def cfg_with(**kw):
+        base = dict(height=32, width=128, batch_size=8,
+                    compute_dtype="float32", use_pallas_warp=False)
+        base.update(kw)
+        return Options(**base).validate()
+
+    cfg_pallas = cfg_with(use_pallas_loss=True, pallas_loss_interpret=True)
+    cfg_xla = cfg_with(use_pallas_loss=False)
+    bundle_p = ModelBundle.create(cfg_pallas)
+    bundle_x = ModelBundle.create(cfg_xla)
+    state = create_train_state(bundle_p, jax.random.PRNGKey(0))
+
+    ds = SyntheticDataset(8, 32, 128, [0, -1, 1])
+    items = [ds.get_item(i) for i in range(8)]
+    batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    mesh = make_mesh(8, 1)
+    sharded = jax.device_put(batch, batch_sharding(mesh))
+    key = jax.random.PRNGKey(7)
+    losses_p, _ = build_eval_step(bundle_p, mesh=mesh)(state, sharded, key)
+    losses_x, _ = build_eval_step(bundle_x)(state, batch, key)
+    for name in ("loss", "loss/0", "loss/3"):
+        np.testing.assert_allclose(float(losses_p[name]),
+                                   float(losses_x[name]), rtol=1e-4,
+                                   err_msg=name)

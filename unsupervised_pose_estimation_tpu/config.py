@@ -123,7 +123,13 @@ class Options:
     profile_dir: Optional[str] = None  # write XProf traces here if set
     synthetic_data: bool = False  # fabricated frames (tests/benchmarks)
     debug_nans: bool = False  # jax debug_nans (sanitizer analogue, SURVEY §5)
-    use_pallas_loss: bool = False  # fused Pallas SSIM+L1 kernel (TPU only)
+    use_pallas_loss: bool = True  # fused Pallas SSIM+L1 kernel when the
+    # backend is TPU and shapes allow (W%128==0, H%8==0, plane fits VMEM);
+    # XLA loss otherwise. Default ON since the analytic Pallas backward:
+    # 92.5 -> 82.6 ms/step device self-time at 640x192x12 (XProf A/B,
+    # scripts/trace_step.py TRACE_CFG)
+    pallas_loss_interpret: bool = False  # test-only: run the Pallas loss in
+    # interpret mode so the dispatch branch is exercised on CPU
     use_pallas_warp: bool = True   # banded Pallas warp kernel on TPU when
     # shapes allow (W%128==0, H%8==0, H>=40); exact XLA fallback otherwise
     pallas_warp_interpret: bool = False  # test-only: run the Pallas warp in

@@ -288,13 +288,43 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
         scale = (1.0 / 255.0) if src.dtype == jnp.uint8 else 1.0
         return jnp.moveaxis(grid_sample(src, coords) * scale, -1, 1)
 
-    if cfg.use_pallas_loss and not cfg.no_ssim:
-        from ..ops.pallas import reprojection_loss_pallas_planar
+    # Reprojection loss dispatch, mirroring warp_fn's gates: the fused
+    # Pallas SSIM+L1 kernel (analytic backward) saves ~10 ms/step device
+    # time at the flagship feed (92.5 -> 82.6 ms, XProf A/B) but holds full
+    # (h, w) planes in VMEM, so gate on backend, lane/sublane multiples and
+    # plane size; exact XLA loss otherwise. On a sharded mesh the
+    # per-example kernel runs per shard under shard_map (the sharding
+    # matches parallel.mesh.batch_sharding, like the warp).
+    _loss_interp = cfg.pallas_loss_interpret
+    _loss_on = cfg.use_pallas_loss and not cfg.no_ssim
+    _LOSS_PLANE_MAX = 192 * 640  # largest plane validated on v5e VMEM
 
-        def reproj_fn(pred_p, tgt_p, use_ssim=True):
-            return reprojection_loss_pallas_planar(pred_p, tgt_p)
-    else:
-        reproj_fn = L.reprojection_loss_planar
+    def reproj_fn(pred_p, tgt_p, use_ssim=True):
+        h_, w_ = pred_p.shape[-2], pred_p.shape[-1]
+        shards = mesh.size if mesh is not None else 1
+        per_shard_b = pred_p.shape[0] // max(shards, 1)
+        if (_loss_on and use_ssim
+                and (jax.default_backend() != "cpu" or _loss_interp)
+                and w_ % 128 == 0 and h_ % 8 == 0
+                and h_ * w_ <= _LOSS_PLANE_MAX
+                and (shards > 1 or jax.device_count() == 1)
+                and per_shard_b >= 1):
+            from ..ops.pallas import reprojection_loss_pallas_planar
+
+            if shards > 1:
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.mesh import batch_axes
+
+                spec = P(batch_axes(mesh))
+                return jax.shard_map(
+                    lambda p_, t_: reprojection_loss_pallas_planar(
+                        p_, t_, _loss_interp),
+                    mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+                    check_vma=False)(pred_p, tgt_p)
+            return reprojection_loss_pallas_planar(pred_p, tgt_p,
+                                                   _loss_interp)
+        return L.reprojection_loss_planar(pred_p, tgt_p, use_ssim=use_ssim)
 
     source_frames = frame_ids[1:]
     losses: Dict[str, jnp.ndarray] = {}
