@@ -13,6 +13,12 @@ to, and what the single-plane SyntheticDataset cannot distinguish) is
 scored alongside as the null baseline — the trained row must beat it by
 learning the layered structure.
 
+The pose head is scored too: rendered odometry sequences (linear camera
+path with EXACT local poses) through the reference's ATE/RE protocol
+(`/root/reference/evaluate_pose.py:183-227` — chain local transforms,
+offset + lstsq-scale alignment, 5-frame tracks), against a zero-motion
+null.
+
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_synthetic.py \
       [--steps 1500] [--height 192 --width 640] [--out docs/quality]
@@ -42,6 +48,9 @@ def main():
     ap.add_argument("--compute_dtype", default=None,
                     help="default: bfloat16 on TPU, float32 on CPU")
     ap.add_argument("--out", default="docs/quality")
+    ap.add_argument("--tag", default="synthetic_parallax",
+                    help="basename for the output json/preview (lets a "
+                         "short pose-focused run coexist with the main row)")
     ap.add_argument("--log_dir", default="runs")
     ap.add_argument("--model_name", default="synthetic_parallax")
     ap.add_argument("--load_only", action="store_true",
@@ -121,6 +130,65 @@ def main():
         if i < 4:
             previews.append((item["color"][0], scaled_disp, gt))
 
+    # -- pose eval: odometry-style ATE/RE on rendered sequences ----------
+    # The camera path is linear in x with EXACT local pose gt_pose(idx, 1)
+    # per consecutive pair; score with the reference's protocol
+    # (`/root/reference/evaluate_pose.py:183-227`: pose net on
+    # cat(frame_{i+1}, frame_i) pairs, chain locals, ATE with offset+lstsq
+    # scale alignment and RE over 5-frame tracks). A zero-motion (identity
+    # pose) predictor is the null baseline.
+    pose_row = None
+    if trainer.bundle.pose_encoder is not None:
+        import jax.numpy as jnp
+
+        from unsupervised_pose_estimation_tpu.eval.metrics import (
+            compute_ate, compute_re, dump_r, dump_xyz)
+        from unsupervised_pose_estimation_tpu.ops.geometry import \
+            transformation_from_parameters
+
+        @jax.jit
+        def pose_fwd(params, batch_stats, pairs):
+            feats = trainer.bundle.pose_encoder.apply(
+                {"params": params["pose_encoder"],
+                 "batch_stats": batch_stats["pose_encoder"]}, pairs, False)
+            aa, tt = trainer.bundle.pose.apply(
+                {"params": params["pose"]}, [feats])
+            return transformation_from_parameters(aa[:, 0, 0], tt[:, 0, 0])
+
+        n_seq, n_frames = 4, 12
+        ates, res_, null_ates = [], [], []
+        for sidx in range(n_seq):
+            frames = val.render_sequence(sidx, n_frames).astype(
+                np.float32) / 255.0
+            pairs = np.concatenate([frames[1:], frames[:-1]], axis=-1)
+            pred_local = np.asarray(pose_fwd(
+                state.params, state.batch_stats, jnp.asarray(pairs)))
+            gt_local = np.tile(val.gt_pose(sidx, 1)[None],
+                               (n_frames - 1, 1, 1))
+            zero_local = np.tile(np.eye(4, dtype=np.float32)[None],
+                                 (n_frames - 1, 1, 1))
+            for i in range(n_frames - 1 - 4):
+                gt_xyz = np.array(dump_xyz(gt_local[i:i + 4]))
+                ates.append(compute_ate(
+                    gt_xyz, np.array(dump_xyz(pred_local[i:i + 4]))))
+                res_.append(compute_re(np.array(dump_r(gt_local[i:i + 4])),
+                                       np.array(dump_r(pred_local[i:i + 4]))))
+                null_ates.append(compute_ate(
+                    gt_xyz, np.array(dump_xyz(zero_local[i:i + 4]))))
+        pose_row = {
+            "ate_mean": round(float(np.mean(ates)), 5),
+            "ate_std": round(float(np.std(ates)), 5),
+            "re_mean": round(float(np.mean(res_)), 5),
+            "re_std": round(float(np.std(res_)), 5),
+            "zero_motion_null_ate": round(float(np.mean(null_ates)), 5),
+            "num_tracks": len(ates),
+        }
+        print(f"\n   Trajectory error: {pose_row['ate_mean']:0.4f}, "
+              f"std: {pose_row['ate_std']:0.4f} "
+              f"(zero-motion null {pose_row['zero_motion_null_ate']:0.4f})")
+        print(f"   Rotation error: {pose_row['re_mean']:0.4f}, "
+              f"std: {pose_row['re_std']:0.4f}")
+
     names = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")
     mean_err = np.asarray(errors).mean(0)
     mean_const = np.asarray(const_errors).mean(0)
@@ -145,7 +213,9 @@ def main():
         "median_scale_ratio": round(float(np.median(ratios)), 3),
         "num_eval_scenes": args.num_eval,
     }
-    out_json = os.path.join(args.out, "synthetic_parallax.json")
+    if pose_row is not None:
+        record["pose"] = pose_row
+    out_json = os.path.join(args.out, f"{args.tag}.json")
     with open(out_json, "w") as f:
         json.dump(record, f, indent=2)
     print(f"-> wrote {out_json}")
@@ -166,9 +236,9 @@ def main():
                 axes[r, c].set_title(title if r == 0 else "")
                 axes[r, c].axis("off")
         fig.tight_layout()
-        fig.savefig(os.path.join(args.out, "synthetic_parallax_preview.png"),
+        fig.savefig(os.path.join(args.out, f"{args.tag}_preview.png"),
                     dpi=110)
-        print(f"-> wrote {args.out}/synthetic_parallax_preview.png")
+        print(f"-> wrote {args.out}/{args.tag}_preview.png")
     except Exception as e:  # pragma: no cover
         print(f"(preview skipped: {e})")
 

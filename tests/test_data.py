@@ -280,6 +280,28 @@ def test_synthetic_parallax_photometric_consistency():
     assert np.mean(err < 0.02) > 0.85, float(np.mean(err < 0.02))
 
 
+def test_synthetic_parallax_render_sequence():
+    """render_sequence samples the same linear camera path as get_item:
+    frames 0/1 match the item's frames {0, +1}, and chaining the constant
+    local pose gt_pose(idx, 1) reproduces gt_pose(idx, i) — the contract the
+    pose-ATE quality row (scripts/quality_synthetic.py) relies on."""
+    from unsupervised_pose_estimation_tpu.data import SyntheticParallaxDataset
+
+    ds = SyntheticParallaxDataset(3, 48, 128, [0, 1], is_train=False,
+                                  sampling_frequency=2, seed=6)
+    seq = ds.render_sequence(1, 4)
+    assert seq.shape == (4, 48, 128, 3) and seq.dtype == np.uint8
+    item = ds.get_item(1)
+    np.testing.assert_array_equal(seq[0], item["color"][0])
+    np.testing.assert_array_equal(seq[1], item["color"][1])
+    local = ds.gt_pose(1, 1)
+    chained = np.eye(4, dtype=np.float32)
+    for i in range(1, 4):
+        chained = local @ chained
+        np.testing.assert_allclose(chained, ds.gt_pose(1, i),
+                                   rtol=0, atol=1e-6)
+
+
 def test_process_workers_match_thread_workers(lung_tree):
     """Spawn-based process pool (--num_worker_procs) must produce batches
     bit-identical to the thread pool: get_item(index, epoch) is

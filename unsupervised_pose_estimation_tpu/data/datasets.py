@@ -473,6 +473,21 @@ class SyntheticParallaxDataset:
                 depth = np.where(m, np.float32(blob["depth"]), depth)
         return img, depth
 
+    def render_sequence(self, index: int, n_frames: int) -> np.ndarray:
+        """(N, H, W, 3) uint8 frames of scene ``index`` with the camera
+        translating along x by ``sampling_frequency * t_x`` per frame (the
+        same linear path get_item samples at {-1, 0, 1}), for odometry-style
+        pose evaluation: the exact local pose between consecutive frames is
+        ``gt_pose(index, 1)`` (`/root/reference/evaluate_pose.py:201-213`
+        consumes local source->target transforms)."""
+        scene = self._scene(index)
+        frames = []
+        for i in range(n_frames):
+            cam_x = float(i) * self.sampling_frequency * scene["t_x"]
+            img, _ = self._render(scene, cam_x, want_depth=False)
+            frames.append((img * 255.0 + 0.5).astype(np.uint8))
+        return np.stack(frames, 0)
+
     def get_item(self, index: int, epoch: int = 0):
         if self._cache is not None and index in self._cache:
             cached = self._cache[index]
