@@ -1,0 +1,116 @@
+"""Hardware gradient-parity check for the Pallas warp + loss kernels.
+
+The interpret-mode tests (tests/test_pallas_ops.py) prove the MATH; this
+proves the MOSAIC-COMPILED kernels on the real chip. Motivation (r4): the
+bench's XProf trace showed all 8 warp sites on the exact-XLA fallback after
+a few self-training steps — flow magnitudes exploding is the expected
+symptom of a wrong kernel gradient, which interpret-mode tests cannot catch.
+
+Compares, on whatever backend JAX sees:
+  1. grid_sample_fast forward + coordinate-gradient vs ops.warp.grid_sample
+     (the exact XLA reference) at the flagship feed with small flows.
+  2. reprojection_loss_pallas_planar forward + grads (pred AND target) vs
+     ops.losses.reprojection_loss_planar.
+
+Prints one JSON line per check: {"check": ..., "max_abs_err": ...,
+"ok": bool}.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+H, W, B, C = 192, 640, 4, 3
+
+
+def _mkflow(rng, scale=6.0):
+    """Smooth small flow field (px), typical of converged depth+pose."""
+    coarse = rng.normal(size=(B, 6, 20, 2)).astype(np.float32) * scale
+    flow = jax.image.resize(jnp.asarray(coarse), (B, H, W, 2), "bilinear")
+    return flow
+
+
+def check_warp():
+    from unsupervised_pose_estimation_tpu.ops.pallas.warp_kernel import \
+        grid_sample_fast
+    from unsupervised_pose_estimation_tpu.ops.warp import grid_sample
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(0, 256, size=(B, H, W, C)), jnp.uint8)
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    flow = _mkflow(rng)
+    px = xx[None] + flow[..., 0]
+    py = yy[None] + flow[..., 1]
+    grid = jnp.stack([px / (W - 1) * 2 - 1, py / (H - 1) * 2 - 1], -1)
+
+    def f_pallas(g):
+        return jnp.sum(jnp.sin(
+            grid_sample_fast(src, g, planar_out=True) * 3.0))
+
+    def f_ref(g):
+        return jnp.sum(jnp.sin(
+            jnp.moveaxis(grid_sample(src, g) * (1.0 / 255.0), -1, 1) * 3.0))
+
+    out = []
+    fp, gp = jax.jit(jax.value_and_grad(f_pallas))(grid)
+    fr, gr = jax.jit(jax.value_and_grad(f_ref))(grid)
+    fwd_err = abs(float(fp) - float(fr)) / max(abs(float(fr)), 1e-9)
+    g_err = float(jnp.max(jnp.abs(gp - gr)))
+    g_scale = float(jnp.max(jnp.abs(gr)))
+    out.append({"check": "warp_forward_rel", "err": round(fwd_err, 7),
+                "ok": fwd_err < 1e-3})
+    out.append({"check": "warp_coord_grad_max_abs", "err": round(g_err, 6),
+                "ref_scale": round(g_scale, 3),
+                "ok": g_err < 1e-2 * max(g_scale, 1.0)})
+    return out
+
+
+def check_loss():
+    from unsupervised_pose_estimation_tpu.ops import losses as L
+    from unsupervised_pose_estimation_tpu.ops.pallas import \
+        reprojection_loss_pallas_planar
+
+    rng = np.random.default_rng(1)
+    pred = jnp.asarray(rng.uniform(size=(B, C, H, W)), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(size=(B, C, H, W)), jnp.float32)
+
+    def f_pallas(p, t):
+        # sum (not mean): keeps gradient magnitudes O(1) so the comparison
+        # is not vacuous at 1e-6 scale
+        return jnp.sum(reprojection_loss_pallas_planar(p, t) ** 2)
+
+    def f_ref(p, t):
+        return jnp.sum(L.reprojection_loss_planar(p, t, use_ssim=True) ** 2)
+
+    out = []
+    fp = jax.jit(f_pallas)(pred, tgt)
+    fr = jax.jit(f_ref)(pred, tgt)
+    fwd_err = abs(float(fp) - float(fr)) / max(abs(float(fr)), 1e-9)
+    out.append({"check": "loss_forward_rel", "err": round(fwd_err, 7),
+                "ok": fwd_err < 1e-3})
+    gp = jax.jit(jax.grad(f_pallas, argnums=(0, 1)))(pred, tgt)
+    gr = jax.jit(jax.grad(f_ref, argnums=(0, 1)))(pred, tgt)
+    for name, a, b in (("pred", gp[0], gr[0]), ("target", gp[1], gr[1])):
+        err = float(jnp.max(jnp.abs(a - b)))
+        scale = float(jnp.max(jnp.abs(b)))
+        out.append({"check": f"loss_grad_{name}_max_abs",
+                    "err": round(err, 8), "ref_scale": round(scale, 5),
+                    "ok": err < 1e-2 * max(scale, 1e-3)})
+    return out
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    results = []
+    if which in ("all", "warp"):
+        results += check_warp()
+    if which in ("all", "loss"):
+        results += check_loss()
+    for r in results:
+        print(json.dumps(r))
+    sys.exit(0 if all(r["ok"] for r in results) else 1)

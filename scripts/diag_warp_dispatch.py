@@ -4,7 +4,15 @@ Mirrors train/step.py's coordinate path (disp -> depth -> backproject ->
 project per scale/frame) on the bench configuration and prints, per warp
 site, the truth value of every ladder predicate (ok7 16-row miniband,
 band_ok 40-row band, shift_ok x-window) plus y-span stats.
+
+Optional argv[1] = N: run N optimizer steps of the real fused train step
+BEFORE dumping predicates (r4: at scratch init the spans sit 1 row inside
+the gates — span7_max 15 vs 16, blk_span_max 39 vs 40 — and a handful of
+Adam steps on noise pushes them over, silently dropping every warp site to
+the exact-XLA rung; the bench's post-window trace showed exactly that).
 """
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,12 +36,24 @@ def main():
     state = create_train_state(bundle, jax.random.PRNGKey(0),
                                cfg.learning_rate)
 
-    rng = np.random.default_rng(0)
-    f = cfg.num_input_frames
-    color = (rng.uniform(size=(B, f, H, W, 3)) * 255).astype(np.uint8)
-    K_norm = np.tile(np.asarray(
-        [[0.635, 0, 0.48, 0], [0, 0.634, 0.5, 0],
-         [0, 0, 1, 0], [0, 0, 0, 1]], np.float32), (B, 1, 1))
+    if "--noise" in sys.argv:
+        # iid-noise frames: the adversarial input (pose drifts off the fast
+        # rungs within ~15 self-training steps)
+        rng = np.random.default_rng(0)
+        f = cfg.num_input_frames
+        color = (rng.uniform(size=(B, f, H, W, 3)) * 255).astype(np.uint8)
+        K_norm = np.tile(np.asarray(
+            [[0.635, 0, 0.48, 0], [0, 0.634, 0.5, 0],
+             [0, 0, 1, 0], [0, 0, 0, 1]], np.float32), (B, 1, 1))
+    else:
+        # the bench's structured-parallax batch (bench.bench_batch)
+        from unsupervised_pose_estimation_tpu.data.datasets import \
+            SyntheticParallaxDataset
+
+        ds = SyntheticParallaxDataset(B, H, W, [0, -1, 1])
+        items = [ds.get_item(i) for i in range(B)]
+        color = np.stack([it["color"] for it in items])
+        K_norm = np.stack([it["K_norm"] for it in items])
 
     @jax.jit
     def predicates(params, stats, color, K_norm):
@@ -98,6 +118,31 @@ def main():
                         x - jnp.arange(W, dtype=jnp.float32)[None, None, :])),
                 )
         return out
+
+    ints = [a for a in sys.argv[1:] if a.lstrip("-").isdigit()]
+    n_train = int(ints[0]) if ints else 0
+    if n_train:
+        from unsupervised_pose_estimation_tpu.train.step import \
+            build_train_step
+
+        try:
+            import os
+
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), ".jax_cache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+        step = build_train_step(bundle)
+        batch = jax.device_put({
+            "color": color, "color_aug": color, "K_norm": K_norm})
+        key = jax.random.PRNGKey(1)
+        for i in range(n_train):
+            state, losses = step(state, batch, key)
+        print(f"trained {n_train} steps, loss={float(losses['loss']):.5f}")
 
     out = predicates(state.params, state.batch_stats,
                      jnp.asarray(color), jnp.asarray(K_norm))

@@ -66,37 +66,38 @@ def capture(n_steps=3):
           file=sys.stderr)
 
 
-def report(top=40):
+def _category(nm):
+    base = nm.lstrip("%").split(" ", 1)[0].split(".")[0].split("(")[0]
+    for key in ("fusion", "convolution", "copy-start", "copy-done",
+                "copy", "conditional", "branch", "custom-call",
+                "dynamic-slice", "dynamic-update-slice", "reduce",
+                "transpose", "bitcast", "all-reduce", "select",
+                "scatter", "gather", "convert", "broadcast", "iota",
+                "dot", "slice", "concatenate", "pad", "reshape"):
+        if base.startswith(key) or key in base:
+            return key
+    return base
+
+
+def aggregate_device_planes(trace_dir=None):
+    """Parse the newest *.xplane.pb under ``trace_dir`` and return a list of
+    (plane_name, total_self_ms, category Counter, per-op Counter, count
+    Counter) for every TPU/device plane. Importable (bench.py reuses this to
+    fold the contention-free device time into its record without a second
+    step compile)."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
+    trace_dir = trace_dir or TRACE_DIR
     paths = sorted(glob.glob(os.path.join(
-        TRACE_DIR, "**", "*.xplane.pb"), recursive=True),
+        trace_dir, "**", "*.xplane.pb"), recursive=True),
         key=os.path.getmtime)
     if not paths:
-        print("no xplane.pb found under", TRACE_DIR)
-        return 1
-    path = paths[-1]
+        raise FileNotFoundError(f"no xplane.pb found under {trace_dir}")
     space = xplane_pb2.XSpace()
-    with open(path, "rb") as fh:
+    with open(paths[-1], "rb") as fh:
         space.ParseFromString(fh.read())
 
-    print(f"planes in {os.path.basename(path)}:")
-    for plane in space.planes:
-        total_ev = sum(len(line.events) for line in plane.lines)
-        print(f"  {plane.name}: {len(plane.lines)} lines, {total_ev} events")
-
-    def category(nm):
-        base = nm.lstrip("%").split(" ", 1)[0].split(".")[0].split("(")[0]
-        for key in ("fusion", "convolution", "copy-start", "copy-done",
-                    "copy", "conditional", "branch", "custom-call",
-                    "dynamic-slice", "dynamic-update-slice", "reduce",
-                    "transpose", "bitcast", "all-reduce", "select",
-                    "scatter", "gather", "convert", "broadcast", "iota",
-                    "dot", "slice", "concatenate", "pad", "reshape"):
-            if base.startswith(key) or key in base:
-                return key
-        return base
-
+    planes = []
     for plane in space.planes:
         name = plane.name.lower()
         if "tpu" not in name and "device" not in name:
@@ -113,11 +114,10 @@ def report(top=40):
                 continue  # Steps/Modules duplicate totals; Async overlaps
             evs = sorted(line.events,
                          key=lambda e: (e.offset_ps, -e.duration_ps))
-            stack = []  # (end_ps, child_ps accumulator index)
             child = [0] * len(evs)
             idx_stack = []
             for i, ev in enumerate(evs):
-                start, end = ev.offset_ps, ev.offset_ps + ev.duration_ps
+                start = ev.offset_ps
                 while idx_stack and evs[idx_stack[-1]].offset_ps + \
                         evs[idx_stack[-1]].duration_ps <= start:
                     idx_stack.pop()
@@ -130,11 +130,31 @@ def report(top=40):
                 ms = max(0, ev.duration_ps - child[i]) / 1e9
                 selfagg[nm] += ms
                 cnt[nm] += 1
-                cat[category(nm)] += ms
+                cat[_category(nm)] += ms
         if not selfagg:
             continue
-        total = sum(selfagg.values())
-        print(f"\n== plane {plane.name}: {total:.2f} ms total SELF time ==")
+        planes.append((plane.name, sum(selfagg.values()), cat, selfagg, cnt))
+    return paths[-1], planes
+
+
+def total_device_self_ms(trace_dir=None):
+    """Total device self-time (ms) across the traced region, first device
+    plane. Raises if no trace or no device plane exists."""
+    _, planes = aggregate_device_planes(trace_dir)
+    if not planes:
+        raise RuntimeError("no device plane with XLA Ops found in trace")
+    return planes[0][1]
+
+
+def report(top=40):
+    try:
+        path, planes = aggregate_device_planes()
+    except FileNotFoundError as e:
+        print(e)
+        return 1
+    print(f"parsed {os.path.basename(path)}")
+    for name, total, cat, selfagg, cnt in planes:
+        print(f"\n== plane {name}: {total:.2f} ms total SELF time ==")
         print("-- by category --")
         for nm, ms in cat.most_common(25):
             print(f"  {ms:9.3f} ms  {nm}")
@@ -151,23 +171,8 @@ def device_ms_per_step(n_steps=3):
     row), so wall-clock ms/step can read several-fold worse than the
     program's own device time; this is the contention-free number.
     """
-    import io
-    from contextlib import redirect_stdout
-
     capture(n_steps)
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: F401
-
-    # reuse report()'s parser but only keep the machine-readable total
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        rc = report(top=0)
-    if rc != 0:
-        raise RuntimeError("no xplane.pb produced")
-    for line in buf.getvalue().splitlines():
-        if "total SELF time" in line and "/device:" in line:
-            total_ms = float(line.split(":")[-1].split("ms")[0])
-            return total_ms / n_steps
-    raise RuntimeError("device plane not found in trace report")
+    return total_device_self_ms() / n_steps
 
 
 if __name__ == "__main__":
