@@ -22,6 +22,7 @@ import re
 from typing import Any, Dict, Optional
 
 import jax
+import jax.flatten_util  # noqa: F401  (ravel_pytree for moment migration)
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -68,9 +69,105 @@ def restore_checkpoint(directory: str, target: TrainState,
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {directory}")
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    except Exception as err:
+        # Adam-moment layout migration: optax.flatten (the fsdp==1 perf
+        # default since r2, state.py make_optimizer) stores mu/nu as ONE
+        # raveled vector; per-leaf trees otherwise. A checkpoint written
+        # with the other layout fails StandardRestore on tree structure —
+        # restore it against the alternate template and re(un)flatten
+        # instead of bricking the resume (ADVICE r2 #1 residue).
+        alt = _alternate_moment_template(target)
+        if alt is None:
+            mgr.close()
+            raise
+        try:
+            restored_alt = mgr.restore(
+                step, args=ocp.args.StandardRestore(
+                    target.replace(opt_state=alt)))
+        except Exception:
+            mgr.close()
+            raise err from None
+        restored = restored_alt.replace(opt_state=_convert_moments(
+            restored_alt.opt_state, target.opt_state, target.params))
+        print(f"restore_checkpoint: migrated Adam moments to the "
+              f"{'flattened' if _is_flat_moments(target.opt_state) else 'per-leaf'} "
+              f"layout of this run")
     mgr.close()
     return restored
+
+
+def _adam_states(opt_state):
+    """Yield every namedtuple node holding mu/nu fields (the Adam moments),
+    depth-first through the optax state tuple."""
+    if hasattr(opt_state, "_fields"):
+        if "mu" in opt_state._fields and "nu" in opt_state._fields:
+            yield opt_state
+        return
+    if isinstance(opt_state, (tuple, list)):
+        for node in opt_state:
+            yield from _adam_states(node)
+
+
+def _is_flat_moments(opt_state) -> bool:
+    for adam in _adam_states(opt_state):
+        leaves = jax.tree_util.tree_leaves(adam.mu)
+        return len(leaves) == 1 and leaves[0].ndim == 1
+    return False
+
+
+def _map_adam(opt_state, fn):
+    """Rebuild the optax state tuple with ``fn(adam_namedtuple)`` applied to
+    each mu/nu-holding node."""
+    if hasattr(opt_state, "_fields"):
+        if "mu" in opt_state._fields and "nu" in opt_state._fields:
+            return fn(opt_state)
+        return opt_state
+    if isinstance(opt_state, tuple):
+        # plain tuple (optax chain state): tuple() takes ONE iterable —
+        # namedtuples were already handled above
+        return tuple(_map_adam(n, fn) for n in opt_state)
+    if isinstance(opt_state, list):
+        return [_map_adam(n, fn) for n in opt_state]
+    return opt_state
+
+
+def _alternate_moment_template(target: TrainState):
+    """Target's opt_state with the OTHER moment layout (flat <-> per-leaf),
+    zero-initialized; None when there is no Adam state to toggle."""
+    import jax.numpy as jnp
+
+    if not any(True for _ in _adam_states(target.opt_state)):
+        return None
+    if _is_flat_moments(target.opt_state):
+        tree = jax.tree_util.tree_map(jnp.zeros_like, target.params)
+        return _map_adam(target.opt_state,
+                         lambda a: a._replace(mu=tree, nu=tree))
+    flat, _ = jax.flatten_util.ravel_pytree(
+        jax.tree_util.tree_map(jnp.zeros_like, target.params))
+    return _map_adam(target.opt_state,
+                     lambda a: a._replace(mu=flat, nu=flat))
+
+
+def _convert_moments(restored_opt, target_opt, params):
+    """Convert restored Adam moments to the target layout. optax.flatten
+    lays the vector out in jax.flatten_util.ravel_pytree order over the
+    params tree, so ravel/unravel against params is exact."""
+    import jax.numpy as jnp
+
+    to_flat = _is_flat_moments(target_opt)
+    _, unravel = jax.flatten_util.ravel_pytree(
+        jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def convert(a):
+        if to_flat:
+            return a._replace(
+                mu=jax.flatten_util.ravel_pytree(a.mu)[0],
+                nu=jax.flatten_util.ravel_pytree(a.nu)[0])
+        return a._replace(mu=unravel(a.mu), nu=unravel(a.nu))
+
+    return _map_adam(restored_opt, convert)
 
 
 # ---------------------------------------------------------------------------
