@@ -160,6 +160,15 @@ def main():
         for sidx in range(n_seq):
             frames = val.render_sequence(sidx, n_frames).astype(
                 np.float32) / 255.0
+            # NB pairs are (frame_{i+1}, frame_i) — the REFERENCE eval's
+            # ordering (`/root/reference/evaluate_pose.py:191`:
+            # cat(color[1], color[0])), which is the reverse of training-time
+            # ordering for positive offsets, so pose_fwd predicts the INVERSE
+            # of gt_pose(idx, 1) (reference-inherited quirk). Benign on this
+            # benchmark: the gt rotation is identity (inverse-symmetric) and
+            # compute_ate's lstsq scale alignment absorbs the translation
+            # sign. On any benchmark with nonzero gt rotations, compare
+            # against inverted gt locals instead or RE is biased.
             pairs = np.concatenate([frames[1:], frames[:-1]], axis=-1)
             pred_local = np.asarray(pose_fwd(
                 state.params, state.batch_stats, jnp.asarray(pairs)))
@@ -182,6 +191,14 @@ def main():
             "re_std": round(float(np.std(res_)), 5),
             "zero_motion_null_ate": round(float(np.mean(null_ates)), 5),
             "num_tracks": len(ates),
+            # gt_local is constant per sequence, so the windows within one
+            # sequence share identical ground truth: tracks are correlated
+            # across the n_seq sequences only, and ate_std/re_std understate
+            # scene-level variance (ADVICE r3)
+            "num_independent_sequences": n_seq,
+            "note": "pred locals are inverse gt locals (reference pair "
+                    "ordering, see comment at pairs=); tracks within a "
+                    "sequence share gt",
         }
         print(f"\n   Trajectory error: {pose_row['ate_mean']:0.4f}, "
               f"std: {pose_row['ate_std']:0.4f} "
