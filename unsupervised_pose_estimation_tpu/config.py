@@ -80,6 +80,11 @@ class Options:
     sampling_frequency: int = 1
     log_frequency: int = 100
     save_frequency: int = 1
+    ckpt_frequency: int = 0  # TPU-native addition: also checkpoint every N
+    # optimizer STEPS (0 = per-epoch saves only). The reference loses up to
+    # a full epoch on a crash (`/root/reference/trainer.py:293-294`); the
+    # per-(epoch,index) deterministic item RNG makes step-granular resume
+    # exact (train/loop.py resumes the Loader mid-epoch)
 
     # EVALUATION (options.py:215-271)
     eval_stereo: bool = False
@@ -125,9 +130,10 @@ class Options:
     debug_nans: bool = False  # jax debug_nans (sanitizer analogue, SURVEY §5)
     use_pallas_loss: bool = True  # fused Pallas SSIM+L1 kernel when the
     # backend is TPU and shapes allow (W%128==0, H%8==0, plane fits VMEM);
-    # XLA loss otherwise. Default ON since the analytic Pallas backward:
-    # 92.5 -> 82.6 ms/step device self-time at 640x192x12 (XProf A/B,
-    # scripts/trace_step.py TRACE_CFG)
+    # XLA loss otherwise. Default ON since the analytic Pallas backward
+    # (92.5 -> 82.6 ms/step device in the r3 XProf A/B); the shipped
+    # default-on program measures 64.5 ms/step device self-time at
+    # 640x192x12 steady state (r4, BASELINE.md)
     pallas_loss_interpret: bool = False  # test-only: run the Pallas loss in
     # interpret mode so the dispatch branch is exercised on CPU
     use_pallas_warp: bool = True   # banded Pallas warp kernel on TPU when

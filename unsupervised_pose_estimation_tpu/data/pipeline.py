@@ -27,6 +27,35 @@ def collate(items) -> dict:
 
 
 # --------------------------------------------------------------------------
+# multi-host: each process loads ONLY the examples its addressable devices
+# consume. Real TPU pods run one process per host; a single-process Loader
+# that device_puts the whole global batch cannot feed them (VERDICT r3
+# missing #4).
+
+
+def rows_from_slices(slices, global_batch: int) -> np.ndarray:
+    """Union of leading-axis index slices -> sorted global row indices.
+
+    Pure core of process_local_rows, unit-testable without multiple
+    processes: ``slices`` is an iterable of per-device index tuples as
+    returned by ``sharding.addressable_devices_indices_map`` (first entry
+    addresses the batch axis)."""
+    rows = set()
+    for idx in slices:
+        sl = idx[0] if isinstance(idx, tuple) else idx
+        rows.update(range(*sl.indices(global_batch)))
+    return np.asarray(sorted(rows), dtype=np.int64)
+
+
+def process_local_rows(sharding, global_batch: int) -> np.ndarray:
+    """Global batch rows owned by THIS process's addressable devices, in
+    ascending order — the layout `jax.make_array_from_process_local_data`
+    expects for the process-local chunk."""
+    idx_map = sharding.addressable_devices_indices_map((global_batch,))
+    return rows_from_slices(idx_map.values(), global_batch)
+
+
+# --------------------------------------------------------------------------
 # process-worker plumbing: the dataset is pickled ONCE into each spawned
 # worker (initializer), items are fetched by index. get_item(index, epoch)
 # is deterministic (per-item seeded RNG), so process- and thread-produced
@@ -63,12 +92,18 @@ class Loader:
         at, `/root/reference/options.py:180-183`). Requires a picklable
         dataset; falls back to threads with a warning otherwise.
       prefetch: queue depth of device-resident batches.
+      multihost: each process decodes only the rows its addressable devices
+        consume and the global array is assembled with
+        `jax.make_array_from_process_local_data`. Defaults to automatic
+        (on iff jax.process_count() > 1 and a sharding is given); the
+        explicit flag exists so single-process tests can exercise the path.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  sharding=None, num_workers: int = 8, prefetch: int = 2,
                  seed: int = 0, infinite: bool = False,
-                 num_worker_procs: int = 0):
+                 num_worker_procs: int = 0,
+                 multihost: Optional[bool] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -79,6 +114,11 @@ class Loader:
         self.seed = seed
         self.infinite = infinite
         self._proc_pool = None
+        if multihost is None:
+            multihost = sharding is not None and jax.process_count() > 1
+        if multihost and sharding is None:
+            raise ValueError("multihost loading needs a batch sharding")
+        self.multihost = multihost
         if len(dataset) < batch_size:
             raise ValueError(
                 f"dataset ({len(dataset)}) smaller than batch ({batch_size})")
@@ -141,15 +181,25 @@ class Loader:
         n = len(self)
         return idx[: n * self.batch_size].reshape(n, self.batch_size)
 
-    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+    def epoch(self, epoch: int = 0, start_batch: int = 0) -> Iterator[dict]:
         """Yield device-resident batches for one epoch.
 
         Producer threads only touch numpy/PIL; `jax.device_put` runs on the
         consumer thread (JAX dispatch is not free-threaded) with a one-batch
         lookahead so the H2D transfer of batch N+1 overlaps the compute of
         batch N (transfers are async; the arrays are merely enqueued here).
+
+        ``start_batch`` skips the first N batches without fetching them
+        (mid-epoch resume: the per-epoch shuffle and per-(epoch,index) item
+        RNG are deterministic, so batch N is bit-identical to the one an
+        uninterrupted run would have seen).
         """
-        batches = self._indices(epoch)
+        batches = self._indices(epoch)[start_batch:]
+        local_rows = None
+        if self.multihost:
+            # this process decodes only its devices' rows; global arrays
+            # are assembled below from each process's local chunk
+            local_rows = process_local_rows(self.sharding, self.batch_size)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -161,6 +211,8 @@ class Loader:
                     for row in batches:
                         if stop.is_set():
                             return
+                        if local_rows is not None:
+                            row = row[local_rows]
                         items = list(proc_pool.map(
                             _proc_get, [int(i) for i in row],
                             [epoch] * len(row)))
@@ -170,6 +222,8 @@ class Loader:
                         for row in batches:
                             if stop.is_set():
                                 return
+                            if local_rows is not None:
+                                row = row[local_rows]
                             items = list(pool.map(
                                 lambda i: self.dataset.get_item(int(i),
                                                                 epoch),
@@ -184,6 +238,12 @@ class Loader:
         thread.start()
 
         def to_device(host_batch):
+            if self.multihost:
+                return {
+                    k: jax.make_array_from_process_local_data(
+                        self.sharding, v,
+                        (self.batch_size,) + v.shape[1:])
+                    for k, v in host_batch.items()}
             if self.sharding is not None:
                 return jax.device_put(host_batch, self.sharding)
             return jax.device_put(host_batch)
