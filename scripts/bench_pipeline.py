@@ -36,6 +36,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--num_workers", type=int, default=8)
+    ap.add_argument("--num_worker_procs", type=int, default=0,
+                    help="spawn-based decode processes (0 = thread pool); "
+                         "the thread-vs-process scaling row of VERDICT r3 "
+                         "#7 — on this 1-core host processes cannot win, "
+                         "which the row should show honestly")
     ap.add_argument("--root", default="/tmp/pipeline_bench_data")
     ap.add_argument("--cache", action="store_true",
                     help="serve frames from the pre-decoded uint8 cache "
@@ -45,6 +50,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from unsupervised_pose_estimation_tpu.config import Options
     from unsupervised_pose_estimation_tpu.data.datasets import LungRAWDataset
@@ -65,6 +78,7 @@ def main():
         attach_frame_cache(ds, os.path.join(args.root, "cache_640x192"),
                            build_if_missing=True)
     loader = Loader(ds, B, shuffle=True, num_workers=args.num_workers,
+                    num_worker_procs=args.num_worker_procs,
                     prefetch=2, infinite=True)
 
     if args.host_only:
@@ -80,7 +94,9 @@ def main():
             "metric": "host_items_per_sec", "value": round(n / dt, 2),
             "unit": "items/s", "cache": args.cache,
             "ms_per_item": round(1000 * dt / n, 2),
-            "num_workers": args.num_workers, "host_cores": os.cpu_count(),
+            "num_workers": args.num_workers,
+            "num_worker_procs": args.num_worker_procs,
+            "host_cores": os.cpu_count(),
         }))
         return
 
@@ -110,6 +126,8 @@ def main():
         "unit": "frames/s",
         "ms_per_step": round(1000 * dt / args.steps, 1),
         "num_workers": args.num_workers,
+        "num_worker_procs": args.num_worker_procs,
+        "cache": args.cache,
         "host_cores": os.cpu_count(),
     }))
 
