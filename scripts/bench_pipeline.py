@@ -19,16 +19,34 @@ H, W, B = 192, 640, 12
 
 
 def ensure_tree(root: str, n_frames: int = 200) -> list:
+    """Panning-texture PNG sequence (2 px/frame), NOT iid noise: the
+    measured step TRAINS on these frames, and training on noise drives the
+    pose net off the warp ladder's fast rungs within ~15 steps (r4 bench
+    root cause, BASELINE.md) — the pipeline bench would then measure a
+    degraded device program instead of the host feed."""
     from PIL import Image
 
     folder = os.path.join(root, "seq0")
     os.makedirs(folder, exist_ok=True)
     rng = np.random.default_rng(0)
+    shift = 2
+    wide = W + shift * n_frames
+    yy, xx = np.mgrid[0:H, 0:wide].astype(np.float32)
+    tex = np.zeros((H, wide, 3), np.float32)
+    for _ in range(6):
+        fx, fy = rng.uniform(0.01, 0.15, 2)
+        phase = rng.uniform(0, 2 * np.pi, 3)
+        amp = rng.uniform(0.1, 0.3, 3)
+        for ch in range(3):
+            tex[..., ch] += amp[ch] * np.sin(
+                2 * np.pi * (fx * xx + fy * yy) + phase[ch])
+    tex -= tex.min()
+    tex /= max(tex.max(), 1e-6)
+    tex8 = (tex * 255.0 + 0.5).astype(np.uint8)
     for i in range(n_frames):
         path = os.path.join(folder, f"{i:010d}.png")
         if not os.path.isfile(path):
-            arr = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
-            Image.fromarray(arr).save(path)
+            Image.fromarray(tex8[:, i * shift:i * shift + W]).save(path)
     return [f"seq0 {i} l" for i in range(1, n_frames - 1)]
 
 
@@ -41,12 +59,16 @@ def main():
                          "the thread-vs-process scaling row of VERDICT r3 "
                          "#7 — on this 1-core host processes cannot win, "
                          "which the row should show honestly")
-    ap.add_argument("--root", default="/tmp/pipeline_bench_data")
+    ap.add_argument("--root", default="/tmp/pipeline_bench_pan")
     ap.add_argument("--cache", action="store_true",
                     help="serve frames from the pre-decoded uint8 cache "
                          "(data/cache.py) instead of decoding PNGs")
     ap.add_argument("--host_only", action="store_true",
                     help="skip the TPU step; measure item assembly alone")
+    ap.add_argument("--device_augment", action="store_true",
+                    help="ship 6 jitter factors instead of running the "
+                         "host PIL pipeline (ops/augment_device.py); the "
+                         "step synthesizes color_aug on device")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +93,8 @@ def main():
     cfg = Options(height=H, width=W, batch_size=B, compute_dtype="bfloat16",
                   weights_init="scratch").validate()
     ds = LungRAWDataset(args.root, files, height=H, width=W,
-                        frame_idxs=[0, -1, 1], is_train=True)
+                        frame_idxs=[0, -1, 1], is_train=True,
+                        device_augment=args.device_augment)
     if args.cache:
         from unsupervised_pose_estimation_tpu.data.cache import \
             attach_frame_cache
@@ -96,6 +119,7 @@ def main():
             "ms_per_item": round(1000 * dt / n, 2),
             "num_workers": args.num_workers,
             "num_worker_procs": args.num_worker_procs,
+            "device_augment": args.device_augment,
             "host_cores": os.cpu_count(),
         }))
         return
@@ -128,6 +152,7 @@ def main():
         "num_workers": args.num_workers,
         "num_worker_procs": args.num_worker_procs,
         "cache": args.cache,
+        "device_augment": args.device_augment,
         "host_cores": os.cpu_count(),
     }))
 

@@ -418,3 +418,72 @@ def test_loader_start_batch_resumes_mid_epoch():
     for a, b in zip(full[2:], tail):
         for key in a:
             np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_device_augment_matches_host_pil():
+    """ops.augment_device.batch_augment vs the host PIL pipeline
+    (data.augment.apply_augment) on the same drawn factors: exact through
+    brightness/contrast/saturation/autocontrast (both round per stage on
+    the 0..255 grid), within a few /255 through the hue stage (PIL's HSV
+    conversion quantizes H/S to uint8)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from unsupervised_pose_estimation_tpu.ops.augment_device import \
+        batch_augment
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(2, 24, 32, 3)).astype(np.uint8)
+
+    cases = [
+        AugmentParams(enabled=False),
+        AugmentParams(enabled=True, brightness=1.17, contrast=0.84,
+                      saturation=1.08, hue=0.0, autocontrast=False),
+        AugmentParams(enabled=True, brightness=0.86, contrast=1.19,
+                      saturation=0.81, hue=0.0, autocontrast=True),
+        AugmentParams(enabled=True, brightness=1.0, contrast=1.0,
+                      saturation=1.0, hue=0.073, autocontrast=False),
+        AugmentParams(enabled=True, brightness=1.12, contrast=0.93,
+                      saturation=1.15, hue=-0.058, autocontrast=True),
+    ]
+    for p in cases:
+        host = np.stack([
+            np.asarray(apply_augment(Image.fromarray(f), p), np.uint8)
+            for f in frames]).astype(np.float32) / 255.0
+        dev = np.asarray(batch_augment(
+            jnp.asarray(frames[None]),  # (B=1, F, H, W, 3)
+            jnp.asarray(p.to_vector()[None])))[0]
+        err = np.abs(dev - host) * 255.0
+        # non-hue stages: float32-vs-PIL-C truncation knife edges only
+        # (<=2 compounded); hue adds the uint8 HSV roundtrip, replicated
+        # exactly up to float32 edge cases (>=99.5% of pixels within 1)
+        tol = 2.01 if p.hue == 0.0 else 8.0
+        assert err.max() <= tol, (p, err.max())
+        if p.hue != 0.0:
+            assert (err <= 1.0001).mean() > 0.995, (p, (err <= 1).mean())
+
+    # disabled must be EXACT (the eval/val path relies on it)
+    dev = np.asarray(batch_augment(
+        jnp.asarray(frames[None]),
+        jnp.asarray(AugmentParams(enabled=False).to_vector()[None])))[0]
+    # exactness contract = the step's own uint8 normalization
+    # (train/step._f32 multiplies by the float32 reciprocal)
+    np.testing.assert_array_equal(
+        dev, frames.astype(np.float32) * np.float32(1.0 / 255.0))
+
+
+def test_device_augment_item_contract(lung_tree):
+    """device_augment=True items ship color + aug_params and NO color_aug;
+    the drawn factors equal the host path's draw for the same (index,
+    epoch)."""
+    data_path, files = lung_tree
+    mk = lambda da: LungRAWDataset(  # noqa: E731
+        data_path, files, height=32, width=32, frame_idxs=[0, -1, 1],
+        is_train=True, sampling_frequency=1, seed=3, device_augment=da)
+    host_ds, dev_ds = mk(False), mk(True)
+    for idx in range(3):
+        hi, di = host_ds.get_item(idx, 0), dev_ds.get_item(idx, 0)
+        assert "color_aug" in hi and "aug_params" not in hi
+        assert "aug_params" in di and "color_aug" not in di
+        assert di["aug_params"].shape == (6,)
+        np.testing.assert_array_equal(hi["color"], di["color"])

@@ -120,6 +120,12 @@ class Options:
     # slice scale-out: keeps per-device microbatches small while growing the
     # effective batch)
     prefetch: int = 2    # host->HBM pipeline depth
+    device_augment: bool = True  # synthesize color_aug ON DEVICE from 6
+    # per-item jitter factors (ops/augment_device.py) instead of host PIL:
+    # removes 86% of the cache-fed per-item host cost (PIL convert/blend)
+    # and halves H2D bytes. Same jitter distribution and once-per-item
+    # draw; hue matches the PIL path within a few /255 (quantization).
+    # Set false for bit-exact host-PIL augmentation.
     frame_cache: Optional[str] = None  # dir of pre-decoded uint8 frames
     # (data/cache.py); built on first use when missing. Lifts the PNG-decode
     # host bottleneck (~10x per-item cost on 1-core hosts)

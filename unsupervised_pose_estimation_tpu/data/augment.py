@@ -47,6 +47,14 @@ class AugmentParams:
             autocontrast=bool(rng.random() < 0.5),
         )
 
+    def to_vector(self) -> np.ndarray:
+        """(6,) float32 for the device-side pipeline
+        (ops.augment_device.batch_augment; field order PARAM_FIELDS)."""
+        return np.asarray(
+            [1.0 if self.enabled else 0.0, self.brightness, self.contrast,
+             self.saturation, self.hue, 1.0 if self.autocontrast else 0.0],
+            np.float32)
+
 
 def apply_augment(img: Image.Image, p: AugmentParams) -> Image.Image:
     if not p.enabled:

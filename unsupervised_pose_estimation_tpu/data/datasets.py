@@ -52,7 +52,8 @@ class MonoDataset:
     def __init__(self, data_path: str, filenames: Sequence[str], height: int,
                  width: int, frame_idxs: Sequence, is_train: bool = False,
                  img_ext: str = ".png", sampling_frequency: int = 1,
-                 load_depth: bool = False, seed: int = 0):
+                 load_depth: bool = False, seed: int = 0,
+                 device_augment: bool = False):
         self.data_path = data_path
         self.filenames = list(filenames)
         self.height = height
@@ -66,6 +67,12 @@ class MonoDataset:
         self.load_depth = load_depth and self.check_depth()
         self.seed = seed
         self.frame_cache = None  # set by data.cache.attach_frame_cache
+        # device_augment: skip the host PIL jitter (86% of cache-fed item
+        # cost on a 1-core host) and ship the 6 drawn factors instead; the
+        # train step synthesizes color_aug on device
+        # (ops.augment_device.batch_augment). Same distribution, same
+        # once-per-item draw; the geometric do_flip stays host-side.
+        self.device_augment = device_augment
 
     # -- subclass hooks ------------------------------------------------
     def get_image_path(self, folder: str, frame_index: int,
@@ -122,13 +129,18 @@ class MonoDataset:
             # ship uint8: 4x less host->HBM traffic; the train step
             # converts to float on device (train/step.py _f32)
             colors.append(np.asarray(img, np.uint8))
-            colors_aug.append(np.asarray(apply_augment(img, aug), np.uint8))
+            if not self.device_augment:
+                colors_aug.append(
+                    np.asarray(apply_augment(img, aug), np.uint8))
 
         item = {
             "color": np.stack(colors, 0),
-            "color_aug": np.stack(colors_aug, 0),
             "K_norm": self.K_NORM.copy(),
         }
+        if self.device_augment:
+            item["aug_params"] = aug.to_vector()
+        else:
+            item["color_aug"] = np.stack(colors_aug, 0)
 
         if "s" in self.frame_idxs:
             # mono_dataset2.py:197-203: signed nominal 0.1 baseline

@@ -113,7 +113,8 @@ class Trainer:
                 _split_path(cfg.split, "val", cfg.split_dir))[sf:-sf]
             common = dict(height=cfg.height, width=cfg.width,
                           frame_idxs=frame_ids, img_ext=".png",
-                          sampling_frequency=sf, seed=cfg.seed)
+                          sampling_frequency=sf, seed=cfg.seed,
+                          device_augment=cfg.device_augment)
             train_ds = make_dataset(cfg.dataset, data_path=cfg.data_path,
                                     filenames=train_files, is_train=True,
                                     **common)

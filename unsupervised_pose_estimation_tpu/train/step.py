@@ -166,7 +166,17 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
     # the (linear) bilinear lerp.
     raw = {f: batch["color"][:, f_index[f]] for f in frame_ids}
     color = {f: _f32(raw[f]) for f in frame_ids}
-    aug = {f: _f32(batch["color_aug"][:, f_index[f]]) for f in frame_ids}
+    if "aug_params" in batch:
+        # device-side photometric jitter (ops.augment_device): the host
+        # ships 6 factors per item instead of a second frame stack —
+        # halves H2D and removes the dominant PIL cost from the item path
+        from ..ops.augment_device import batch_augment
+
+        aug_all = batch_augment(batch["color"], batch["aug_params"])
+        aug = {f: aug_all[:, f_index[f]] for f in frame_ids}
+    else:
+        aug = {f: _f32(batch["color_aug"][:, f_index[f]])
+               for f in frame_ids}
     raw_scale = (1.0 / 255.0 if batch["color"].dtype == jnp.uint8 else 1.0)
 
     # device-side pyramids: frame 0 always (smoothness target); all frames
