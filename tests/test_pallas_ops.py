@@ -288,3 +288,35 @@ def test_step_loss_dispatch_branch_on_sharded_mesh(rng_np):
         np.testing.assert_allclose(float(losses_p[name]),
                                    float(losses_x[name]), rtol=1e-4,
                                    err_msg=name)
+
+
+def test_warp_kernel_wide_band_rung(rng_np):
+    """Mid-training y-spreads (block span > the 40-row band but < 72) take
+    the new wide-band v3 tail rung instead of the exact-XLA gather (r4:
+    that cliff was the real driver of the degraded bench windows). In
+    interpret mode the chosen branch executes, so exactness of values AND
+    coordinate gradients pins the new rung."""
+    from unsupervised_pose_estimation_tpu.ops.pallas.warp_kernel import \
+        grid_sample_fast
+    from unsupervised_pose_estimation_tpu.ops.warp import grid_sample
+
+    B, H, W, C = 1, 128, 128, 3
+    img = rng_np.uniform(size=(B, H, W, C)).astype(np.float32)
+    xs, ys = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H),
+                         indexing="xy")
+    # sinusoidal vertical flow, ~+-20 px across x: within one 8-row block
+    # the y-span is ~48 rows -> overflows band 40, fits band 72
+    wave = 20.0 * np.sin(np.linspace(0, 6 * np.pi, W))[None, :]
+    grid = np.stack([xs, ys + wave * (2.0 / (H - 1))], -1)[None]
+    grid = jnp.asarray(grid.astype(np.float32))
+
+    ref = grid_sample(jnp.asarray(img), grid)
+    fast = grid_sample_fast(jnp.asarray(img), grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
+
+    ga = jax.grad(lambda g: jnp.sum(grid_sample(jnp.asarray(img), g) ** 2))(
+        grid)
+    gb = jax.grad(lambda g: jnp.sum(grid_sample_fast(
+        jnp.asarray(img), g, interpret=True) ** 2))(grid)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-5,
+                               atol=1e-5)

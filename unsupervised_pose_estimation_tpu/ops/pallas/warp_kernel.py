@@ -34,6 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BAND_H = 40   # source rows resident per output row-block (8-aligned start)
+WIDE_BAND_H = 72  # tail-rung band (v3 kernel) for mid-training y-spreads;
+#               184 KB/plane in VMEM — still far from the XLA-gather cliff
 LANE = 128
 RB = 8        # output rows per block (sublane alignment unit)
 
@@ -926,6 +928,20 @@ def _sample_impl(version, interpret, image, x, y):
     band_ok = jnp.all(blk_max + 1 - ymin <= band_h - 1)
     yl = y0i - jnp.repeat(ymin, RB, axis=1)[..., None]
     tail = slow
+    if h > WIDE_BAND_H >= band_h:
+        # wide-band v3 rung between the 40-row rungs and the XLA gather:
+        # mid-training flows (y-spread ~12-30 px inside a row-block, common
+        # before pose converges) overflow the 40-row band but fit 72 rows —
+        # without this they fell off the ~6 ms kernel cliff onto the ~31
+        # ms/warp exact-XLA path (r4 bench root-cause, BASELINE.md)
+        ymin_w = jnp.clip(blk_min, 0, h - WIDE_BAND_H)
+        band_ok_w = jnp.all(blk_max + 1 - ymin_w <= WIDE_BAND_H - 1)
+        yl_w = y0i - jnp.repeat(ymin_w, RB, axis=1)[..., None]
+        fast_w = make_fast(ymin_w, yl_w, WIDE_BAND_H - 2, WIDE_BAND_H,
+                           kern_version=3)
+        tail = functools.partial(
+            lambda ok_, fast_, tail_, _: jax.lax.cond(
+                ok_, fast_, tail_, operand=None), band_ok_w, fast_w, tail)
     for kern_version, needs_shift in reversed(rungs):
         ok = (jnp.logical_and(band_ok, shift_ok) if needs_shift
               else band_ok)
