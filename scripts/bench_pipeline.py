@@ -131,8 +131,10 @@ def main():
     key = jax.random.PRNGKey(1)
 
     it = iter(loader)
-    # warmup: compile + fill the prefetch queue
-    for _ in range(2):
+    # warmup: compile, fill the prefetch queue, AND train to the converged
+    # flow regime (early steps ride the wide-band warp rungs while pose is
+    # random; the pipeline row measures the steady state, like bench.py)
+    for _ in range(20):
         state, losses = step(state, next(it), key)
     float(losses["loss"])  # value-fetch sync (axon block_until_ready lies)
 
