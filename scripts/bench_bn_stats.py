@@ -16,6 +16,13 @@ rounds for pooled-chip contention robustness):
   reduce      jnp.mean/var over (0,1,2) in f32 (what flax BatchNorm does)
   matmul      ones-matmul moments, var = E[x^2] - E[x]^2 in f32
   fused_bn    full train-mode BN (stats + normalize) both ways, fwd+bwd
+
+AVENUE CLOSED (r4, measured 1x v5e): stats-only is a wash (0.99 vs 0.96 ms
+wall at 24x96x320x64, dispatch-floor dominated), but full BN fwd+bwd is a
+clear LOSS for the matmul variant (1.49 -> 5.19 ms at 24x96x320x64,
+1.18 -> 2.59 at 12x96x320x64, ~parity at 12x48x160x128): the ones-matmul's
+backward materializes extra full-size intermediates that XLA's native
+reduce path fuses away. flax BatchNorm's reduce-based stats stay.
 """
 
 import time
