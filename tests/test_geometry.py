@@ -105,6 +105,13 @@ def test_backproject_project_roundtrip(rng_np):
     expect = np.stack([gx, gy], -1)[None].repeat(b, 0)
     np.testing.assert_allclose(np.asarray(pix), expect, atol=1e-4)
 
+    # planar form is the same values as (B, 2, H, W) planes (the layout the
+    # hot path plumbs into the warp kernels)
+    pix_p = G.project(points, jnp.asarray(K), T, h, w, planar=True)
+    assert pix_p.shape == (b, 2, h, w)
+    np.testing.assert_array_equal(
+        np.asarray(pix_p), np.asarray(pix).transpose(0, 3, 1, 2))
+
 
 def test_backproject_matches_torch_formulation(rng_np):
     """Cross-check against the reference's matmul chain using torch ops."""

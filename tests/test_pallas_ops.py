@@ -81,6 +81,18 @@ def test_banded_warp_kernel_matches_reference(rng_np, version):
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-5,
                                atol=1e-5)
 
+    # planar_grid consumes (B, 2, H, W) — the train step's layout — with
+    # bit-identical values and gradients
+    small_p = jnp.moveaxis(small, -1, 1)
+    fast_p = grid_sample_fast(jnp.asarray(img), small_p, interpret=True,
+                              version=version, planar_grid=True)
+    np.testing.assert_array_equal(np.asarray(fast_p), np.asarray(fast))
+    gp = jax.grad(lambda g: jnp.sum(grid_sample_fast(
+        jnp.asarray(img), g, interpret=True, version=version,
+        planar_grid=True) ** 2))(small_p)
+    np.testing.assert_array_equal(np.asarray(gp),
+                                  np.asarray(jnp.moveaxis(gb, -1, 1)))
+
 
 @pytest.mark.parametrize("version", [1, 2, 3, 4, 6, 7, 8])
 def test_banded_warp_kernel_uint8(rng_np, version):

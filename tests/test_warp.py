@@ -38,6 +38,24 @@ def test_matches_torch_random_grid(rng_np):
     np.testing.assert_allclose(ours, oracle, atol=1e-5)
 
 
+def test_planar_grid_matches_channel_last(rng_np):
+    """planar_grid=True consumes (B, 2, Ho, Wo) — the hot path's layout —
+    with bit-identical results (values and grid gradients)."""
+    b, h, w, c = 2, 10, 11, 3
+    img = rng_np.uniform(size=(b, h, w, c)).astype(np.float32)
+    grid = rng_np.uniform(-1.4, 1.4, size=(b, h, w, 2)).astype(np.float32)
+    gp = jnp.asarray(grid.transpose(0, 3, 1, 2))
+    ref = grid_sample(jnp.asarray(img), jnp.asarray(grid))
+    out = grid_sample(jnp.asarray(img), gp, planar_grid=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    ga = jax.grad(lambda g: jnp.sum(
+        grid_sample(jnp.asarray(img), g) ** 2))(jnp.asarray(grid))
+    gb = jax.grad(lambda g: jnp.sum(
+        grid_sample(jnp.asarray(img), g, planar_grid=True) ** 2))(gp)
+    np.testing.assert_array_equal(
+        np.asarray(gb), np.asarray(ga).transpose(0, 3, 1, 2))
+
+
 def test_matches_torch_far_out_of_bounds(rng_np):
     b, h, w, c = 1, 6, 6, 2
     img = rng_np.uniform(size=(b, h, w, c)).astype(np.float32)

@@ -152,26 +152,35 @@ def backproject(depth, inv_K):
     return jnp.concatenate([points, ones], axis=1)
 
 
-def project(points, K, T, height: int, width: int, eps: float = 1e-7):
+def project(points, K, T, height: int, width: int, eps: float = 1e-7,
+            planar: bool = False):
     """Project camera-frame points through pose T and intrinsics K to
     normalized [-1, 1] sampling coordinates.
 
     Args:
       points: (B, 4, H*W) homogeneous points (from :func:`backproject`).
       K, T: (B, 4, 4).
+      planar: return (B, 2, H, W) with x/y as separate planes instead of the
+        channel-last (B, H, W, 2). A trailing dim of 2 tiles pathologically
+        on TPU (padded to (8, 128) lanes, then transposed away by every
+        consumer); the planar form is a free reshape off the matmul and is
+        what the warp kernels slice into anyway.
 
     Returns:
-      (B, H, W, 2) pix_coords in [-1, 1], matching
-      `/root/reference/layers.py:253-264` (align_corners=True convention:
-      -1 and +1 map to pixel centers 0 and W-1/H-1).
+      pix_coords in [-1, 1], matching `/root/reference/layers.py:253-264`
+      (align_corners=True convention: -1 and +1 map to pixel centers 0 and
+      W-1/H-1). Shape (B, H, W, 2), or (B, 2, H, W) with ``planar``.
     """
     P = jnp.matmul(K, T, precision=_HIGHEST)[:, :3, :]  # (B, 3, 4)
     cam = jnp.einsum("bij,bjn->bin", P, points,
                      precision=_HIGHEST)  # (B, 3, HW)
     xy = cam[:, :2] / (cam[:, 2:3] + eps)
     b = points.shape[0]
-    pix = xy.reshape(b, 2, height, width).transpose(0, 2, 3, 1)  # (B,H,W,2)
     scale = jnp.asarray([width - 1, height - 1], dtype=points.dtype)
+    if planar:
+        pix = xy.reshape(b, 2, height, width)
+        return (pix / scale[:, None, None] - 0.5) * 2.0
+    pix = xy.reshape(b, 2, height, width).transpose(0, 2, 3, 1)  # (B,H,W,2)
     return (pix / scale - 0.5) * 2.0
 
 

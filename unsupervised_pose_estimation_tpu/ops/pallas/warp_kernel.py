@@ -1043,12 +1043,14 @@ _sample_planar.defvjp(_sample_planar_fwd, _sample_planar_bwd)
 
 
 def grid_sample_fast(image, grid, interpret=False, planar_out=False,
-                     version=8):
+                     version=8, planar_grid=False):
     """Bilinear sample with torch grid_sample(border, align_corners=True)
     semantics; NO gradient to `image` (the corners are constants wrt the
     objective; exact coordinate gradients via saved d/dwx, d/dwy planes).
 
-    image: (B, H, W, C) uint8 or float; grid: (B, H, W, 2) in [-1, 1].
+    image: (B, H, W, C) uint8 or float; grid: (B, H, W, 2) in [-1, 1], or
+    (B, 2, H, W) with ``planar_grid`` (the layout ops.geometry.project emits
+    with planar=True — skips the pathological 2-minor-dim tiling entirely).
     Requires W % 128 == 0, H % 8 == 0 and H >= 16; callers use
     ops.warp.grid_sample for other shapes. With ``planar_out`` the result
     stays channel-planar (B, C, H, W) — the loss pipeline consumes planar,
@@ -1065,7 +1067,9 @@ def grid_sample_fast(image, grid, interpret=False, planar_out=False,
     lerp into the kernel and emits gradient planes directly.
     """
     b, h, w, c = image.shape
-    x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
-    y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+    gx, gy = (grid[:, 0], grid[:, 1]) if planar_grid else (grid[..., 0],
+                                                           grid[..., 1])
+    x = jnp.clip((gx + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+    y = jnp.clip((gy + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
     out = _sample_planar(version, interpret, image, x, y)
     return out if planar_out else jnp.moveaxis(out, 1, -1)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 
-def grid_sample(image, grid):
+def grid_sample(image, grid, planar_grid: bool = False):
     """Bilinear sample `image` at normalized coordinates `grid`.
 
     Args:
@@ -32,16 +32,23 @@ def grid_sample(image, grid):
       grid: (B, Ho, Wo, 2) coords in [-1, 1]; grid[..., 0] is x (width axis),
         grid[..., 1] is y, align_corners=True convention (-1 -> pixel 0,
         +1 -> pixel W-1). Out-of-range coords are clamped (border padding).
+        With ``planar_grid`` the layout is (B, 2, Ho, Wo) instead
+        (ops.geometry.project's planar form — avoids the TPU-hostile
+        trailing dim of 2).
 
     Returns:
       (B, Ho, Wo, C) sampled image, float32.
     """
     b, h, w, c = image.shape
-    _, ho, wo, _ = grid.shape
+    if planar_grid:
+        gx, gy = grid[:, 0], grid[:, 1]
+    else:
+        gx, gy = grid[..., 0], grid[..., 1]
+    ho, wo = gx.shape[1], gx.shape[2]
 
     # Unnormalize (align_corners=True) and clamp (padding_mode="border").
-    x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
-    y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+    x = jnp.clip((gx + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+    y = jnp.clip((gy + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
 
     # Patch start, clamped so the 2x2 slice stays in bounds; weights are
     # relative to the clamped start (wx, wy in [0, 1]).

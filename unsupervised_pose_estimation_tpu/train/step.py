@@ -266,7 +266,9 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
     # channel-planar (B, C, h, w) so no NHWC round-trips happen on the hot
     # path.
     def warp_fn(src, coords):
-        sh_, sw_ = coords.shape[1], coords.shape[2]
+        # coords are channel-planar (B, 2, h, w) — geometry.project(planar=
+        # True); the (B, h, w, 2) form tiles pathologically on TPU.
+        sh_, sw_ = coords.shape[2], coords.shape[3]
         shards = mesh.size if mesh is not None else 1
         per_shard_b = src.shape[0] // max(shards, 1)
         interp = cfg.pallas_warp_interpret
@@ -290,13 +292,15 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
                 return jax.shard_map(
                     lambda s, c: grid_sample_fast(
                         s, c, planar_out=True, interpret=interp,
-                        version=ver),
+                        version=ver, planar_grid=True),
                     mesh=mesh, in_specs=(spec, spec), out_specs=spec,
                     check_vma=False)(src, coords)
             return grid_sample_fast(src, coords, planar_out=True,
-                                    interpret=interp, version=ver)
+                                    interpret=interp, version=ver,
+                                    planar_grid=True)
         scale = (1.0 / 255.0) if src.dtype == jnp.uint8 else 1.0
-        return jnp.moveaxis(grid_sample(src, coords) * scale, -1, 1)
+        return jnp.moveaxis(
+            grid_sample(src, coords, planar_grid=True) * scale, -1, 1)
 
     # Reprojection loss dispatch, mirroring warp_fn's gates: the fused
     # Pallas SSIM+L1 kernel (analytic backward) saves ~10 ms/step device
@@ -389,7 +393,8 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
                     aa_r[:, 0], tt_r[:, 0] * mean_inv_depth,
                     invert=(f_i < 0))
 
-            pix_coords = G.project(cam_points, Ks[source_scale], T, sh, sw)
+            pix_coords = G.project(cam_points, Ks[source_scale], T, sh, sw,
+                                   planar=True)
             if cfg.v1_multiscale:
                 warped_p = warp_fn(pyr[f_i][source_scale], pix_coords)
             else:
