@@ -472,6 +472,33 @@ def test_device_augment_matches_host_pil():
         dev, frames.astype(np.float32) * np.float32(1.0 / 255.0))
 
 
+def test_device_augment_packed_matches_unpacked():
+    """batch_augment(packed=True) == space_to_depth of the unpacked result,
+    bit for bit (the jitter is pointwise; its reductions see the same
+    element sets either way)."""
+    import jax.numpy as jnp
+
+    from unsupervised_pose_estimation_tpu.ops.augment_device import (
+        batch_augment, space_to_depth_frames)
+
+    rng = np.random.default_rng(11)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(3, 3, 24, 32, 3)).astype(np.uint8))
+    cases = [
+        AugmentParams(enabled=False),
+        AugmentParams(enabled=True, brightness=1.17, contrast=0.84,
+                      saturation=1.08, hue=0.073, autocontrast=True),
+        AugmentParams(enabled=True, brightness=0.86, contrast=1.19,
+                      saturation=0.81, hue=-0.02, autocontrast=False),
+    ]
+    params = jnp.asarray(np.stack([p.to_vector() for p in cases]))
+    ref = batch_augment(frames, params)
+    packed = batch_augment(frames, params, packed=True)
+    assert packed.shape == (3, 3, 12, 16, 12)
+    np.testing.assert_array_equal(
+        np.asarray(packed), np.asarray(space_to_depth_frames(ref)))
+
+
 def test_device_augment_item_contract(lung_tree):
     """device_augment=True items ship color + aug_params and NO color_aug;
     the drawn factors equal the host path's draw for the same (index,

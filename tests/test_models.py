@@ -54,6 +54,22 @@ def test_resnet_multi_image_input():
     assert feats[0].shape == (1, 48, 48, 64)
 
 
+def test_resnet_packed_input_matches_unpacked():
+    """packed_in=True consumes space-to-depth color_aug (the train step's
+    layout) with the SAME parameters and bit-identical features."""
+    from unsupervised_pose_estimation_tpu.ops.packed import space_to_depth
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(2, 32, 48, 6)).astype(np.float32))
+    model = ResNetEncoder(num_layers=18, num_input_images=2)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, False)
+    ref = model.apply(variables, x, False)
+    packed = model.apply(variables, space_to_depth(x), False,
+                         packed_in=True)
+    for a, b in zip(ref, packed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_depth_decoder_shapes_fork_variant():
     b, h, w = 2, 96, 96
     widths = encoder_channels(18)

@@ -59,7 +59,7 @@ class _StemP(nn.Module):
                           (7, 7, self.in_features, self.features))
 
 
-def _packed_stem_conv(x, kernel, compute_dtype):
+def _packed_stem_conv(x, kernel, compute_dtype, already_packed=False):
     """7x7 stride-2 pad-3 conv evaluated in space-to-depth layout.
 
     The stem's 3-6 input channels starve the MXU's 128-lane contraction
@@ -68,7 +68,11 @@ def _packed_stem_conv(x, kernel, compute_dtype):
     4x4 conv with contraction dim 16*Cin — exact same math (tap (a, b) of
     the 7x7 kernel lands in packed tap (floor((a-3)/2)+2, ...) sub-channel
     ((a-3) mod 2, ...)), zero padding becomes plain (2, 1) packed padding,
-    and the input gradient needs no lhs_dilation."""
+    and the input gradient needs no lhs_dilation.
+
+    With ``already_packed`` the input arrives in (r, s, c) packed layout
+    (e.g. straight from ops.augment_device.batch_augment(packed=True)) and
+    the shuffle here is skipped entirely."""
     import jax
 
     from ..ops.packed import space_to_depth
@@ -81,7 +85,7 @@ def _packed_stem_conv(x, kernel, compute_dtype):
             dq, sp = divmod(b_ - 3, 2)
             ci = (rp * 2 + sp) * cin
             k4 = k4.at[dp + 2, dq + 2, ci:ci + cin, :].set(kernel[a, b_])
-    xp = space_to_depth(x)
+    xp = x if already_packed else space_to_depth(x)
     return jax.lax.conv_general_dilated(
         xp.astype(compute_dtype), k4.astype(compute_dtype),
         window_strides=(1, 1), padding=((2, 1), (2, 1)),
@@ -97,12 +101,14 @@ class _ConvBN(nn.Module):
     packed_stem: bool = False  # kernel 7 / stride 2 / pad 3 only
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        if (self.packed_stem and x.shape[1] % 2 == 0
-                and x.shape[2] % 2 == 0):
+    def __call__(self, x, train: bool, packed_in: bool = False):
+        if self.packed_stem and (packed_in or (x.shape[1] % 2 == 0
+                                               and x.shape[2] % 2 == 0)):
             assert (self.kernel, self.stride, self.pad) == (7, 2, 3)
-            kernel = _StemP(self.features, x.shape[-1], name="conv")()
-            x = _packed_stem_conv(x, kernel, self.compute_dtype)
+            cin = x.shape[-1] // 4 if packed_in else x.shape[-1]
+            kernel = _StemP(self.features, cin, name="conv")()
+            x = _packed_stem_conv(x, kernel, self.compute_dtype,
+                                  already_packed=packed_in)
         else:
             x = nn.Conv(
                 self.features,
@@ -175,7 +181,11 @@ class ResNetEncoder(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
+    def __call__(self, x, train: bool = False,
+                 packed_in: bool = False) -> Sequence[jnp.ndarray]:
+        """``packed_in``: x is space-to-depth packed (B, H/2, W/2, 4*Cin) —
+        the layout batch_augment(packed=True) emits — so the packed stem
+        consumes it without its own shuffle. Same parameters, same output."""
         if self.num_layers not in STAGE_BLOCKS:
             raise ValueError(
                 f"{self.num_layers} is not a valid number of resnet layers")
@@ -187,7 +197,7 @@ class ResNetEncoder(nn.Module):
         x = x.astype(self.compute_dtype)
         features = []
         x = _ConvBN(64, 7, 2, 3, self.compute_dtype, packed_stem=True,
-                    name="stem")(x, train)
+                    name="stem")(x, train, packed_in=packed_in)
         x = nn.relu(x)
         features.append(x)
 

@@ -84,18 +84,39 @@ def _hue_rotate(x, shift_u8):
     return jnp.where((us == 0.0)[..., None], v[..., None], out)
 
 
-def batch_augment(color, params):
+def space_to_depth_frames(x):
+    """(B, F, H, W, C) -> (B, F, H/2, W/2, 4C), channel layout (r, s, c) —
+    the frame-stack form of ops.packed.space_to_depth."""
+    b, f, h, w, c = x.shape
+    x = x.reshape(b, f, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+        b, f, h // 2, w // 2, 4 * c)
+
+
+def batch_augment(color, params, packed: bool = False):
     """color: (B, F, H, W, 3) uint8 (or float [0,1]); params: (B, 6)
     float32 rows [enabled, brightness, contrast, saturation, hue,
     autocontrast] (AugmentParams.to_vector()). Returns float32 [0,1]
     augmented frames — identical factors across an item's frames, per the
-    reference's once-per-item jitter draw."""
+    reference's once-per-item jitter draw.
+
+    With ``packed`` the result is space-to-depth packed (B, F, H/2, W/2,
+    12): the jitter is pointwise per pixel (and its reductions are over
+    whole frames), so it commutes with the layout shuffle exactly — doing
+    the shuffle HERE moves it onto the uint8 bytes (4x fewer than f32) and
+    lets the packed ResNet stems consume color_aug with no s2d of their
+    own."""
+    if packed:
+        color = space_to_depth_frames(color)
     x = color.astype(jnp.float32)
     if color.dtype != jnp.uint8:
         x = x * 255.0
+    if packed:
+        b, f, h2, w2, c4 = x.shape
+        x = x.reshape(b, f, h2, w2, 4, c4 // 4)
 
-    def bc(v):  # (B,) -> (B, 1, 1, 1, 1)
-        return v[:, None, None, None, None]
+    def bc(v):  # (B,) -> (B, 1, ..., 1) broadcast over frame/space/channel
+        return v.reshape((-1,) + (1,) * (x.ndim - 1))
 
     enabled = bc((params[:, 0] > 0.5).astype(jnp.float32))
     bright = bc(params[:, 1])
@@ -104,10 +125,15 @@ def batch_augment(color, params):
     hue = params[:, 4]
     auto = bc((params[:, 5] > 0.5).astype(jnp.float32)) * enabled
 
+    # reduction axes: everything after the frame dim is "this frame" —
+    # (H, W, c) unpacked, (H/2, W/2, subpixel, c) packed; same element sets
+    frame_axes = tuple(range(2, x.ndim))         # incl. channel (for mean)
+    space_axes = tuple(range(2, x.ndim - 1))     # excl. channel (min/max)
+
     y = _r8(x * bright)
     # per-frame mean of the L image (ImageEnhance.Contrast computes its
     # degenerate gray per image, i.e. per frame here)
-    mean = jnp.floor(jnp.mean(_lum(y), axis=(2, 3, 4), keepdims=True) + 0.5)
+    mean = jnp.floor(jnp.mean(_lum(y), axis=frame_axes, keepdims=True) + 0.5)
     y = _r8(mean + cont * (y - mean))
     y = _r8(_lum(y) + sat * (y - _lum(y)))
     # int(hue*255) truncates toward zero (host impl); u8 H-channel units.
@@ -118,11 +144,13 @@ def batch_augment(color, params):
     rotated = _r8(_hue_rotate(y, bc(shift)))
     y = jnp.where(bc(shift) != 0.0, rotated, y)
     # autocontrast, cutoff 0: per-channel per-frame min/max stretch
-    lo = jnp.min(y, axis=(2, 3), keepdims=True)
-    hi = jnp.max(y, axis=(2, 3), keepdims=True)
+    lo = jnp.min(y, axis=space_axes, keepdims=True)
+    hi = jnp.max(y, axis=space_axes, keepdims=True)
     stretch = jnp.clip(jnp.floor((y - lo) * 255.0 /
                                  jnp.maximum(hi - lo, 1.0)), 0.0, 255.0)
     y = jnp.where(hi > lo, stretch, y) * auto + y * (1.0 - auto)
 
-    out = y * enabled + x * (1.0 - enabled)
-    return out * (1.0 / 255.0)
+    out = (y * enabled + x * (1.0 - enabled)) * (1.0 / 255.0)
+    if packed:
+        out = out.reshape(b, f, h2, w2, c4)
+    return out

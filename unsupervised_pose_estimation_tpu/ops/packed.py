@@ -48,6 +48,18 @@ def depth_to_space(x):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * hp, 2 * wp, c)
 
 
+def packed_concat_channels(xs):
+    """Concatenate packed tensors along their ORIGINAL channel dim.
+
+    Each x is (B, Hp, Wp, 4*ci) with (r, s, c) layout; the result is the
+    packed form of jnp.concatenate(full_res_xs, -1): per (r, s) block the
+    original channels of every input, in order. Pure reshape + concat on
+    the minor axis — no spatial shuffle."""
+    b, hp, wp, _ = xs[0].shape
+    views = [x.reshape(b, hp, wp, 4, x.shape[-1] // 4) for x in xs]
+    return jnp.concatenate(views, axis=-1).reshape(b, hp, wp, -1)
+
+
 def assemble_packed_conv3x3(kernel):
     """(3, 3, Cin, Cout) -> (3, 3, 4Cin, 4Cout) packed-domain kernel.
 

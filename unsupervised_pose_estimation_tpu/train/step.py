@@ -43,14 +43,14 @@ from .state import TrainState, make_optimizer
 # ---------------------------------------------------------------------------
 
 
-def _apply_bn_module(module, params, stats, *args, train: bool):
+def _apply_bn_module(module, params, stats, *args, train: bool, **kw):
     """Apply a module that owns BatchNorm state; returns (out, new_stats)."""
     variables = {"params": params, "batch_stats": stats}
     if train:
         out, mutated = module.apply(variables, *args, train,
-                                    mutable=["batch_stats"])
+                                    mutable=["batch_stats"], **kw)
         return out, mutated["batch_stats"]
-    return module.apply(variables, *args, train), stats
+    return module.apply(variables, *args, train, **kw), stats
 
 
 def _f32(x):
@@ -68,12 +68,15 @@ def _grayscale(img):
     return jnp.sum(img * w, axis=-1, keepdims=True)
 
 
-def predict_poses(bundle: ModelBundle, params, stats, aug_frames, train: bool
-                  ) -> Tuple[Dict, Dict, Dict]:
+def predict_poses(bundle: ModelBundle, params, stats, aug_frames, train: bool,
+                  packed: bool = False) -> Tuple[Dict, Dict, Dict]:
     """Predict cam_T_cam for every temporal source frame.
 
     Args:
-      aug_frames: dict frame_id -> (B, H, W, 3) augmented frames at scale 0.
+      aug_frames: dict frame_id -> (B, H, W, 3) augmented frames at scale 0
+        (space-to-depth packed (B, H/2, W/2, 12) with ``packed``; channel
+        concat then happens per (r, s) block so the packed pose stem sees
+        the exact packed form of the full-res 6-channel pair).
 
     Returns (cam_T_cam, raw (axisangle, translation) per frame, new_stats).
     Mirrors `/root/reference/trainer.py:405-461` with the pairs batched into
@@ -88,22 +91,28 @@ def predict_poses(bundle: ModelBundle, params, stats, aug_frames, train: bool
         return poses, raw, new_stats
 
     b = aug_frames[0].shape[0]
+    if packed:
+        from ..ops.packed import packed_concat_channels as _cat_ch
+    else:
+        def _cat_ch(xs):
+            return jnp.concatenate(xs, axis=-1)
 
     if cfg.num_pose_frames == 2:
         # Stack all (pair) inputs on the batch axis -> ONE forward.
         pairs = []
         for f_i in temporal_sources:
             if f_i < 0:
-                pair = jnp.concatenate([aug_frames[f_i], aug_frames[0]], -1)
+                pair = _cat_ch([aug_frames[f_i], aug_frames[0]])
             else:
-                pair = jnp.concatenate([aug_frames[0], aug_frames[f_i]], -1)
+                pair = _cat_ch([aug_frames[0], aug_frames[f_i]])
             pairs.append(pair)
         stacked = jnp.concatenate(pairs, axis=0)  # (S*B, H, W, 6)
 
         if cfg.pose_model_type == "separate_resnet":
             feats, new_stats["pose_encoder"] = _apply_bn_module(
                 bundle.pose_encoder, params["pose_encoder"],
-                stats["pose_encoder"], stacked, train=train)
+                stats["pose_encoder"], stacked, train=train,
+                packed_in=packed)
             aa, tt = bundle.pose.apply({"params": params["pose"]}, [feats])
         elif cfg.pose_model_type == "posecnn":
             aa, tt = bundle.pose.apply({"params": params["pose"]}, stacked)
@@ -121,12 +130,11 @@ def predict_poses(bundle: ModelBundle, params, stats, aug_frames, train: bool
                 aa_k, tt_k, invert=(f_i < 0))
     else:
         # All frames through the pose net at once (trainer.py:440-459).
-        ins = jnp.concatenate(
-            [aug_frames[i] for i in cfg.frame_ids if i != "s"], axis=-1)
+        ins = _cat_ch([aug_frames[i] for i in cfg.frame_ids if i != "s"])
         if cfg.pose_model_type == "separate_resnet":
             feats, new_stats["pose_encoder"] = _apply_bn_module(
                 bundle.pose_encoder, params["pose_encoder"],
-                stats["pose_encoder"], ins, train=train)
+                stats["pose_encoder"], ins, train=train, packed_in=packed)
             aa, tt = bundle.pose.apply({"params": params["pose"]}, [feats])
         else:
             aa, tt = bundle.pose.apply({"params": params["pose"]}, ins)
@@ -166,17 +174,28 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
     # the (linear) bilinear lerp.
     raw = {f: batch["color"][:, f_index[f]] for f in frame_ids}
     color = {f: _f32(raw[f]) for f in frame_ids}
+    # aug frames feed ONLY the conv stems; when every consumer is a packed
+    # ResNet stem, synthesize color_aug directly in space-to-depth layout
+    # (the jitter commutes with the shuffle) so the stems' own s2d — and
+    # its 4x-bigger f32 bytes — vanish from the step.
+    aug_packed = (cfg.pose_model_type != "posecnn"
+                  and h % 2 == 0 and w % 2 == 0)
     if "aug_params" in batch:
         # device-side photometric jitter (ops.augment_device): the host
         # ships 6 factors per item instead of a second frame stack —
         # halves H2D and removes the dominant PIL cost from the item path
         from ..ops.augment_device import batch_augment
 
-        aug_all = batch_augment(batch["color"], batch["aug_params"])
+        aug_all = batch_augment(batch["color"], batch["aug_params"],
+                                packed=aug_packed)
         aug = {f: aug_all[:, f_index[f]] for f in frame_ids}
     else:
+        from ..ops.packed import space_to_depth
+
         aug = {f: _f32(batch["color_aug"][:, f_index[f]])
                for f in frame_ids}
+        if aug_packed:
+            aug = {f: space_to_depth(a) for f, a in aug.items()}
     raw_scale = (1.0 / 255.0 if batch["color"].dtype == jnp.uint8 else 1.0)
 
     # device-side pyramids: frame 0 always (smoothness target); all frames
@@ -204,7 +223,7 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
         stackin = jnp.concatenate([aug[f] for f in non_stereo], axis=0)
         feats_all, new_stats["encoder"] = _apply_bn_module(
             bundle.encoder, params["encoder"], stats["encoder"], stackin,
-            train=train)
+            train=train, packed_in=aug_packed)
         b = aug[0].shape[0]
         feats_by_frame = {
             f: [fm[i * b:(i + 1) * b] for fm in feats_all]
@@ -213,7 +232,7 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
     else:
         features, new_stats["encoder"] = _apply_bn_module(
             bundle.encoder, params["encoder"], stats["encoder"], aug[0],
-            train=train)
+            train=train, packed_in=aug_packed)
 
     disps, new_stats["depth"] = _apply_bn_module(
         bundle.depth, params["depth"], stats["depth"], features, train=train)
@@ -239,7 +258,7 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
                     aa[:, i, 0], tt[:, i, 0])
     elif cfg.use_pose_net:
         poses, raw_poses, new_stats = predict_poses(
-            bundle, params, {**new_stats}, aug, train)
+            bundle, params, {**new_stats}, aug, train, packed=aug_packed)
     else:
         poses, raw_poses = {}, {}
 
