@@ -112,6 +112,21 @@ def test_backproject_project_roundtrip(rng_np):
     np.testing.assert_array_equal(
         np.asarray(pix_p), np.asarray(pix).transpose(0, 3, 1, 2))
 
+    # non-homogeneous fast path: implicit ones row, translation added
+    # post-matmul — same values up to f32 reduction order (4-term dot vs
+    # 3-term dot + add)
+    pts3 = G.backproject(jnp.asarray(depth), jnp.asarray(inv_K),
+                         homogeneous=False)
+    assert pts3.shape == (b, 3, h * w)
+    np.testing.assert_array_equal(np.asarray(pts3), np.asarray(points)[:, :3])
+    R = np.eye(4, dtype=np.float32)
+    R[:3, 3] = (0.3, -0.2, 0.15)
+    Tt = jnp.asarray(R[None].repeat(b, 0))
+    pix4 = G.project(points, jnp.asarray(K), Tt, h, w, planar=True)
+    pix3 = G.project(pts3, jnp.asarray(K), Tt, h, w, planar=True)
+    np.testing.assert_allclose(np.asarray(pix3), np.asarray(pix4),
+                               rtol=1e-6, atol=1e-6)
+
 
 def test_backproject_matches_torch_formulation(rng_np):
     """Cross-check against the reference's matmul chain using torch ops."""

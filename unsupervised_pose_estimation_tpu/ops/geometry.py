@@ -132,22 +132,28 @@ def pixel_grid(height: int, width: int, dtype=jnp.float32):
     return jnp.asarray(_pixel_grid_np(height, width), dtype=dtype)
 
 
-def backproject(depth, inv_K):
+def backproject(depth, inv_K, homogeneous: bool = True):
     """Depth map -> homogeneous camera-frame point cloud.
 
     Args:
       depth: (B, H, W, 1) NHWC depth.
       inv_K: (B, 4, 4) inverse intrinsics.
+      homogeneous: append the constant ones row (the reference's contract).
+        With False, returns (B, 3, H*W) and :func:`project` adds the
+        translation column directly — skips materializing (and
+        backpropagating through) a fourth plane that is constant anyway.
 
     Returns:
       (B, 4, H*W) homogeneous points, matching
-      `/root/reference/layers.py:234-239`.
+      `/root/reference/layers.py:234-239` (or (B, 3, H*W), see above).
     """
     b, h, w, _ = depth.shape
     grid = pixel_grid(h, w, dtype=depth.dtype)  # (3, HW)
     rays = jnp.einsum("bij,jn->bin", inv_K[:, :3, :3], grid,
                       precision=_HIGHEST)  # (B, 3, HW)
     points = depth.reshape(b, 1, h * w) * rays
+    if not homogeneous:
+        return points
     ones = jnp.ones((b, 1, h * w), dtype=depth.dtype)
     return jnp.concatenate([points, ones], axis=1)
 
@@ -158,7 +164,10 @@ def project(points, K, T, height: int, width: int, eps: float = 1e-7,
     normalized [-1, 1] sampling coordinates.
 
     Args:
-      points: (B, 4, H*W) homogeneous points (from :func:`backproject`).
+      points: (B, 4, H*W) homogeneous points (from :func:`backproject`), or
+        (B, 3, H*W) with the ones row implicit (backproject(homogeneous=
+        False)) — the translation column is then added post-matmul, same
+        math without the constant fourth plane.
       K, T: (B, 4, 4).
       planar: return (B, 2, H, W) with x/y as separate planes instead of the
         channel-last (B, H, W, 2). A trailing dim of 2 tiles pathologically
@@ -172,8 +181,12 @@ def project(points, K, T, height: int, width: int, eps: float = 1e-7,
       W-1/H-1). Shape (B, H, W, 2), or (B, 2, H, W) with ``planar``.
     """
     P = jnp.matmul(K, T, precision=_HIGHEST)[:, :3, :]  # (B, 3, 4)
-    cam = jnp.einsum("bij,bjn->bin", P, points,
-                     precision=_HIGHEST)  # (B, 3, HW)
+    if points.shape[1] == 3:
+        cam = jnp.einsum("bij,bjn->bin", P[:, :, :3], points,
+                         precision=_HIGHEST) + P[:, :, 3:4]  # (B, 3, HW)
+    else:
+        cam = jnp.einsum("bij,bjn->bin", P, points,
+                         precision=_HIGHEST)  # (B, 3, HW)
     xy = cam[:, :2] / (cam[:, 2:3] + eps)
     b = points.shape[0]
     scale = jnp.asarray([width - 1, height - 1], dtype=points.dtype)

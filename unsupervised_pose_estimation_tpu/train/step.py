@@ -394,7 +394,8 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
         target = pyr[0][source_scale] if cfg.v1_multiscale else color[0]
         target_p = jnp.moveaxis(target, -1, 1)  # (B, C, h, w)
 
-        cam_points = G.backproject(depth, inv_Ks[source_scale])
+        cam_points = G.backproject(depth, inv_Ks[source_scale],
+                                   homogeneous=False)
 
         reprojs = []
         identities = []
