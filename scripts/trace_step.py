@@ -21,6 +21,16 @@ import numpy as np
 H, W, B = 192, 640, 12
 TRACE_DIR = os.environ.get("TRACE_DIR", "/tmp/xprof_step")
 
+# Persistent compilation cache (same dir bench.py uses): cold full-step
+# compiles on the remote-compile axon backend run 10+ minutes; warm ~2 min.
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def build():
     from unsupervised_pose_estimation_tpu.config import Options
