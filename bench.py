@@ -334,10 +334,12 @@ def worker(ledger_path: str, deadline_ts: float) -> int:
             trace_once()
 
     # Window 1 + the device trace run regardless of the deadline: a record
-    # without them is no record at all. Everything after respects it.
+    # without them is no record at all. Everything after respects it. The
+    # trace runs AFTER the first full round of windows, not between windows
+    # 1 and 2: windows cost ~1-5 s each while the trace costs minutes on a
+    # 1-core host (TF import + xplane parse) — tracing first ate 10+ min of
+    # the window budget and left a 1-window record (r4 HEAD bench).
     run_window()
-    if "device_ms_per_step" not in meta:
-        trace_once()
 
     round_idx = 0
     while True:
@@ -345,9 +347,13 @@ def worker(ledger_path: str, deadline_ts: float) -> int:
                 and not stop_now():
             if time.time() > deadline_ts - 10:
                 _log("deadline reached mid-round")
+                if "device_ms_per_step" not in meta:
+                    trace_once()
                 retrace_if_preempted()
                 return 0
             run_window()
+        if "device_ms_per_step" not in meta:
+            trace_once()
         retrace_if_preempted()
         if stop_now():
             _log("enough windows (clean/healthy/target); stopping")
