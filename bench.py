@@ -21,9 +21,11 @@ Timings on the shared pool (BASELINE.md): the chip is time-sliced at coarse
 (~100 ms) granularity during contention phases that last hours, so wall
 windows can read 3-8x worse than the program's device self-time while
 remaining rock-stable. The record therefore also carries
-``device_ms_per_step``: right after the first window the worker traces 3
-steps of its ALREADY-COMPILED step under the JAX profiler and folds the
-XProf device self-time in (no second multi-minute compile), plus a
+``device_ms_per_step``: after the first full round of windows (or on the
+deadline path, if the deadline lands mid-round) the worker traces 3 steps
+of its ALREADY-COMPILED step under the JAX profiler and folds the XProf
+device self-time in (no second multi-minute compile; tracing earlier ate
+10+ min of the window budget on this 1-core host), plus a
 ``pool_contended`` flag (wall vs device ratio). ``value`` is the BEST wall
 window (the framework's capability; the median mostly measures neighbours);
 median and spread ride along.
@@ -400,6 +402,13 @@ def main() -> int:
         _log(f"no completed windows ({errors} worker crashes) — "
              f"no result to report")
         return 1
+    _, meta = _read_ledger(ledger)
+    if "device_ms_per_step" not in meta:
+        # Every attempt crashed before its end-of-round trace: the record
+        # lacks device_ms_per_step / pool_contended / mfu_device. Surface
+        # the gap (ADVICE r4) — the wall-window value still stands.
+        _log("final record has NO device trace (all workers died before "
+             "the end-of-round trace); wall windows only")
     return 0
 
 

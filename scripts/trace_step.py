@@ -21,13 +21,20 @@ import numpy as np
 H, W, B = 192, 640, 12
 TRACE_DIR = os.environ.get("TRACE_DIR", "/tmp/xprof_step")
 
-# Persistent compilation cache (same dir bench.py uses): cold full-step
+# Persistent compilation cache (same resolution order as bench.py:
+# BENCH_CACHE_DIR wins, else the repo-local .jax_cache): cold full-step
 # compiles on the remote-compile axon backend run 10+ minutes; warm ~2 min.
+# Skipped when the embedding process (e.g. bench.py's worker, which
+# exec_module-loads this file) already configured a cache dir.
 try:
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir", os.environ.get(
+            "BENCH_CACHE_DIR",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".jax_cache")))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
 
