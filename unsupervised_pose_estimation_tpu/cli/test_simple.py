@@ -46,11 +46,11 @@ def _magma_colormap(x: np.ndarray) -> np.ndarray:
     import matplotlib
 
     matplotlib.use("Agg")
-    import matplotlib.cm as cm
 
     vmax = np.percentile(x, 95)
     normed = np.clip(x / max(vmax, 1e-9), 0, 1)
-    return (cm.get_cmap("magma")(normed)[..., :3] * 255).astype(np.uint8)
+    cmap = matplotlib.colormaps["magma"]
+    return (cmap(normed)[..., :3] * 255).astype(np.uint8)
 
 
 def test_simple(args):
