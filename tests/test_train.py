@@ -382,3 +382,27 @@ def test_device_grid_real_tpu_slice_mismatch_raises():
     devs = [_FakeDev(i, slice_index=0, platform="tpu") for i in range(8)]
     with pytest.raises(ValueError, match="wrong network tier"):
         _device_grid(devs, dcn=2, data=2, fsdp=2)
+
+
+def test_two_process_multihost_input_path():
+    """Real 2-process jax.distributed validation of the multihost Loader
+    (VERDICT r4 #5): spawns 2 child interpreters (4 virtual CPU devices
+    each), runs one fused train step on the global 8-device mesh with each
+    process decoding only its rows, and asserts the loss equals a
+    single-process run exactly. ~15 min of 1-core CPU compiles — opt-in via
+    RUN_MULTIHOST=1 (the driver-facing entry `python __graft_entry__.py
+    --multihost 2` runs the same path; last green run: MULTIHOST_r05.json)."""
+    import os
+
+    import pytest
+    if not os.environ.get("RUN_MULTIHOST"):
+        pytest.skip("set RUN_MULTIHOST=1 (spawns 2 child interpreters, "
+                    "~15 min on a 1-core host)")
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", os.path.join(repo, "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multihost(2)
