@@ -104,6 +104,47 @@ def check_loss():
     return out
 
 
+def check_fused():
+    """The fully-fused warp+loss op (ops.pallas.warp_loss) on the real
+    chip: forward loss plane and coordinate gradients vs the composed
+    exact-XLA reference (grid_sample -> reprojection_loss_planar)."""
+    from unsupervised_pose_estimation_tpu.ops import losses as L
+    from unsupervised_pose_estimation_tpu.ops.pallas.warp_loss import \
+        warp_reproj_loss
+    from unsupervised_pose_estimation_tpu.ops.warp import grid_sample
+
+    rng = np.random.default_rng(2)
+    src = jnp.asarray(rng.integers(0, 256, size=(B, H, W, C)), jnp.uint8)
+    tgt = jnp.asarray(rng.uniform(size=(B, C, H, W)), jnp.float32)
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    flow = _mkflow(rng)
+    px = xx[None] + flow[..., 0]
+    py = yy[None] + flow[..., 1]
+    grid_p = jnp.stack([px / (W - 1) * 2 - 1, py / (H - 1) * 2 - 1], 1)
+
+    def f_fused(g):
+        return jnp.sum(warp_reproj_loss(src, g, tgt) ** 2)
+
+    def f_ref(g):
+        warped = grid_sample(src, jnp.moveaxis(g, 1, -1)) * (1.0 / 255.0)
+        return jnp.sum(L.reprojection_loss(
+            warped, jnp.moveaxis(tgt, 1, -1)) ** 2)
+
+    out = []
+    fp, gp = jax.jit(jax.value_and_grad(f_fused))(grid_p)
+    fr, gr = jax.jit(jax.value_and_grad(f_ref))(grid_p)
+    fwd_err = abs(float(fp) - float(fr)) / max(abs(float(fr)), 1e-9)
+    g_err = float(jnp.max(jnp.abs(gp - gr)))
+    g_scale = float(jnp.max(jnp.abs(gr)))
+    out.append({"check": "fused_forward_rel", "err": round(fwd_err, 7),
+                "ok": fwd_err < 1e-3})
+    out.append({"check": "fused_coord_grad_max_abs", "err": round(g_err, 6),
+                "ref_scale": round(g_scale, 3),
+                "ok": g_err < 1e-2 * max(g_scale, 1.0)})
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     results = []
@@ -111,6 +152,8 @@ if __name__ == "__main__":
         results += check_warp()
     if which in ("all", "loss"):
         results += check_loss()
+    if which in ("all", "fused"):
+        results += check_fused()
     for r in results:
         print(json.dumps(r))
     sys.exit(0 if all(r["ok"] for r in results) else 1)

@@ -332,3 +332,118 @@ def test_warp_kernel_wide_band_rung(rng_np):
         jnp.asarray(img), g, interpret=True) ** 2))(grid)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_warp_loss_fused_forward_matches_unfused(rng_np):
+    """The fused warp+reproj-loss op (ops.pallas.warp_loss, interpret mode)
+    must match the composed reference grid_sample -> reprojection_loss on
+    BOTH sides of its dispatch: the fused v9 kernel (small displacement)
+    and the internal fallback (wild grid)."""
+    from unsupervised_pose_estimation_tpu.ops.pallas.warp_loss import \
+        warp_reproj_loss
+    from unsupervised_pose_estimation_tpu.ops.warp import grid_sample
+
+    B, H, W, C = 2, 48, 128, 3
+    img8 = rng_np.integers(0, 255, size=(B, H, W, C)).astype(np.uint8)
+    target = rng_np.uniform(size=(B, C, H, W)).astype(np.float32)
+    xs, ys = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H),
+                         indexing="xy")
+    base = np.stack([xs, ys], -1)[None].repeat(B, 0).astype(np.float32)
+
+    def ref_loss(grid_nhwc):
+        warped = grid_sample(jnp.asarray(img8), grid_nhwc) / 255.0
+        return L.reprojection_loss(warped,
+                                   jnp.moveaxis(jnp.asarray(target), 1, -1))
+
+    for disp, label in [(0.02, "fused rung"), (1.0, "fallback rung")]:
+        grid = jnp.asarray(base + rng_np.uniform(
+            -disp, disp, size=base.shape).astype(np.float32))
+        ours = warp_reproj_loss(jnp.asarray(img8),
+                                jnp.moveaxis(grid, -1, 1),
+                                jnp.asarray(target), interpret=True)
+        ref = ref_loss(grid)
+        assert ours.shape == ref.shape == (B, H, W, 1), label
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=1e-5, err_msg=label)
+
+
+def test_warp_loss_fused_gradients(rng_np):
+    """Coordinate gradients of the fused op (analytic SSIM adjoint
+    contracted with the saved d/dwx, d/dwy planes inside one kernel) must
+    match XLA AD of the composed reference."""
+    from unsupervised_pose_estimation_tpu.ops.pallas.warp_loss import \
+        warp_reproj_loss
+    from unsupervised_pose_estimation_tpu.ops.warp import grid_sample
+
+    B, H, W, C = 1, 48, 128, 3
+    img8 = rng_np.integers(0, 255, size=(B, H, W, C)).astype(np.uint8)
+    target = rng_np.uniform(size=(B, C, H, W)).astype(np.float32)
+    xs, ys = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H),
+                         indexing="xy")
+    base = np.stack([xs, ys], -1)[None].astype(np.float32)
+    small = jnp.asarray(jnp.moveaxis(jnp.asarray(
+        base + rng_np.uniform(-0.02, 0.02, size=base.shape)
+        .astype(np.float32)), -1, 1))
+
+    def fused(g):
+        return jnp.sum(warp_reproj_loss(jnp.asarray(img8), g,
+                                        jnp.asarray(target),
+                                        interpret=True) ** 2)
+
+    def composed(g):
+        warped = grid_sample(jnp.asarray(img8), jnp.moveaxis(g, 1, -1)) \
+            / 255.0
+        return jnp.sum(L.reprojection_loss(
+            warped, jnp.moveaxis(jnp.asarray(target), 1, -1)) ** 2)
+
+    gf = jax.grad(fused)(small)
+    gr = jax.grad(composed)(small)
+    # atol 2e-5: the analytic SSIM adjoint and XLA's AD of the jnp graph
+    # associate f32 sums differently (same class of noise as the v8 warp
+    # gradient tolerances above)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4,
+                               atol=2e-5)
+
+
+def test_step_fused_warp_loss_dispatch_on_sharded_mesh(rng_np):
+    """The TRAIN STEP's fully-fused warp+loss dispatch (train/step.py
+    warp_loss_fn, default-on), through the shard_map branch on the 8-device
+    CPU mesh at a kernel-eligible 32x128 uint8 feed: losses must match the
+    unfused pair (Pallas warp + Pallas loss as separate kernels). Guards
+    the dispatch gates + sharding of ops.pallas.warp_loss."""
+    from unsupervised_pose_estimation_tpu.config import Options
+    from unsupervised_pose_estimation_tpu.data import SyntheticDataset
+    from unsupervised_pose_estimation_tpu.parallel.mesh import (
+        batch_sharding, make_mesh)
+    from unsupervised_pose_estimation_tpu.train.bundle import ModelBundle
+    from unsupervised_pose_estimation_tpu.train.state import \
+        create_train_state
+    from unsupervised_pose_estimation_tpu.train.step import build_eval_step
+
+    def cfg_with(**kw):
+        base = dict(height=32, width=128, batch_size=8,
+                    compute_dtype="float32", use_pallas_warp=True,
+                    pallas_warp_interpret=True, use_pallas_loss=True,
+                    pallas_loss_interpret=True)
+        base.update(kw)
+        return Options(**base).validate()
+
+    cfg_fused = cfg_with(use_pallas_warp_loss=True)
+    cfg_pair = cfg_with(use_pallas_warp_loss=False)
+    bundle_f = ModelBundle.create(cfg_fused)
+    bundle_p = ModelBundle.create(cfg_pair)
+    state = create_train_state(bundle_f, jax.random.PRNGKey(0))
+
+    ds = SyntheticDataset(8, 32, 128, [0, -1, 1])
+    items = [ds.get_item(i) for i in range(8)]
+    batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    mesh = make_mesh(8, 1)
+    sharded = jax.device_put(batch, batch_sharding(mesh))
+    key = jax.random.PRNGKey(7)
+    losses_f, _ = build_eval_step(bundle_f, mesh=mesh)(state, sharded, key)
+    losses_p, _ = build_eval_step(bundle_p, mesh=mesh)(state, sharded, key)
+    for name in ("loss", "loss/0", "loss/3"):
+        np.testing.assert_allclose(float(losses_f[name]),
+                                   float(losses_p[name]), rtol=1e-5,
+                                   err_msg=name)

@@ -149,6 +149,11 @@ class Options:
     # meshes) is exercised on CPU without a TPU (VERDICT r2 weak #6)
     pallas_warp_version: int = 8  # top kernel rung (8 = lerp-fused; 7 =
     # corner fetch + XLA lerp; lower = per-plane kernels) — ablation knob
+    use_pallas_warp_loss: bool = True  # fuse the reprojection loss INTO the
+    # warp kernel (ops.pallas.warp_loss): the warped frame is scored while
+    # still in VMEM and the backward emits the two (B, H, W) coordinate
+    # cotangents directly — no per-site XLA contraction/transpose pass.
+    # Applies when the warp (v8) and loss gates both hold; ablation knob
     log_images: bool = False  # log disp/automask/warp images at log steps
     steps_per_epoch: Optional[int] = None  # cap steps (smoke tests)
     wandb: bool = False  # opt-in W&B logging

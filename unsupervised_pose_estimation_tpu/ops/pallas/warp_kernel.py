@@ -825,6 +825,26 @@ def _fetch_corners(src, x0i, yl, ymin, interpret=False, version=3,
     return out
 
 
+def _v8_inputs(image, x0i, y0i, shift_ok, h, w):
+    """Predicate + kernel-layout inputs for the channel-packed miniband
+    rungs (v7/v8/v9): returns (ok, raw_img (B, C*H, W) f32, yl7, m7).
+
+    Shared by _sample_impl's top rungs and the fused warp+reproj-loss op
+    (ops.pallas.warp_loss) so the dispatch gates can never drift apart."""
+    b = image.shape[0]
+    c = image.shape[-1]
+    yb7 = y0i.reshape(b, h, w // LANE, LANE)
+    y_mn = jnp.min(yb7, axis=3)  # (B, H, W//LANE)
+    y_mx = jnp.max(yb7, axis=3)
+    m7 = jnp.clip((y_mn // 8) * 8, 0, h - MB7)
+    ok7 = jnp.all(y_mx + 1 - m7 <= MB7 - 1)
+    ok7 = jnp.logical_and(ok7, shift_ok)
+    yl7 = jnp.clip(y0i - jnp.repeat(m7, LANE, axis=2), 0, MB7 - 2)
+    raw_img = jnp.moveaxis(image.astype(jnp.float32), -1, 1
+                           ).reshape(b, c * h, w)
+    return ok7, raw_img, yl7, m7
+
+
 def _sample_impl(version, interpret, image, x, y):
     """Dispatch ladder; returns (warped, ddx, ddy), all (B, C, H, W) f32.
 
@@ -954,15 +974,7 @@ def _sample_impl(version, interpret, image, x, y):
             and h >= MB7 and w % LANE == 0):
         # per-(row, chunk) miniband top rungs: uint8 sources only (bf16
         # corners / raw-value arithmetic are exact for 0..255 values)
-        yb7 = y0i.reshape(b, h, w // LANE, LANE)
-        y_mn = jnp.min(yb7, axis=3)  # (B, H, W//LANE), shared by the rungs
-        y_mx = jnp.max(yb7, axis=3)
-        m7 = jnp.clip((y_mn // 8) * 8, 0, h - MB7)
-        ok7 = jnp.all(y_mx + 1 - m7 <= MB7 - 1)
-        ok7 = jnp.logical_and(ok7, shift_ok)
-        yl7 = jnp.clip(y0i - jnp.repeat(m7, LANE, axis=2), 0, MB7 - 2)
-        raw_img = jnp.moveaxis(image.astype(jnp.float32), -1, 1
-                               ).reshape(b, c * h, w)
+        ok7, raw_img, yl7, m7 = _v8_inputs(image, x0i, y0i, shift_ok, h, w)
 
         if version >= 8:
             wx_f = wxp[:, 0].astype(jnp.float32)

@@ -359,6 +359,42 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
                                                    _loss_interp)
         return L.reprojection_loss_planar(pred_p, tgt_p, use_ssim=use_ssim)
 
+    # Fully-fused warp + reprojection loss (ops.pallas.warp_loss): one
+    # kernel warps AND scores — the warped frame never round-trips HBM into
+    # the loss kernel, and the fused backward emits the two (B, h, w)
+    # coordinate cotangents directly (no per-site d-loss/d-warped tensor,
+    # no XLA contraction/transpose pass). Gates are the union of warp_fn's
+    # and reproj_fn's; returns None when they fail so the caller composes
+    # the unfused pair instead (incl. when warped images are logged).
+    def warp_loss_fn(src, coords, tgt_p):
+        sh_, sw_ = coords.shape[2], coords.shape[3]
+        shards = mesh.size if mesh is not None else 1
+        per_shard_b = src.shape[0] // max(shards, 1)
+        interp = cfg.pallas_warp_interpret and cfg.pallas_loss_interpret
+        if not (cfg.use_pallas_warp_loss and cfg.use_pallas_warp
+                and _loss_on and cfg.pallas_warp_version >= 8
+                and (jax.default_backend() != "cpu" or interp)
+                and sw_ % 128 == 0 and sh_ % 16 == 0 and sh_ >= 16
+                and sh_ * sw_ <= _LOSS_PLANE_MAX
+                and src.dtype == jnp.uint8
+                and src.shape[1] == sh_ and src.shape[2] == sw_
+                and (shards > 1 or jax.device_count() == 1)
+                and per_shard_b >= 1):
+            return None
+        from ..ops.pallas.warp_loss import warp_reproj_loss
+
+        if shards > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import batch_axes
+
+            spec = P(batch_axes(mesh))
+            return jax.shard_map(
+                lambda s_, c_, t_: warp_reproj_loss(s_, c_, t_, interp),
+                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                check_vma=False)(src, coords, tgt_p)
+        return warp_reproj_loss(src, coords, tgt_p, interp)
+
     source_frames = frame_ids[1:]
     losses: Dict[str, jnp.ndarray] = {}
     outputs: Dict[str, Any] = {"disp": disps}
@@ -415,10 +451,15 @@ def forward_and_loss(bundle: ModelBundle, params, stats, frozen, batch,
 
             pix_coords = G.project(cam_points, Ks[source_scale], T, sh, sw,
                                    planar=True)
-            if cfg.v1_multiscale:
-                warped_p = warp_fn(pyr[f_i][source_scale], pix_coords)
-            else:
-                warped_p = warp_fn(raw[f_i], pix_coords)
+            src_frame = (pyr[f_i][source_scale] if cfg.v1_multiscale
+                         else raw[f_i])
+            fused_reproj = (
+                None if (with_images or cfg.no_ssim or cfg.v1_multiscale)
+                else warp_loss_fn(src_frame, pix_coords, target_p))
+            if fused_reproj is not None:
+                reprojs.append(fused_reproj)
+                continue
+            warped_p = warp_fn(src_frame, pix_coords)
             if with_images:
                 outputs[f"color_pred/{f_i}/{s}"] = jnp.moveaxis(
                     warped_p, 1, -1)
