@@ -57,6 +57,9 @@ def main():
                     help="skip training; evaluate the existing checkpoint")
     ap.add_argument("--resume", action="store_true",
                     help="resume training from the existing checkpoint")
+    ap.add_argument("--with_rotation", action="store_true",
+                    help="camera path also yaws (train AND odometry eval): "
+                         "nonzero GT rotations so RE measures something")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +86,7 @@ def main():
                   weights_init="scratch", learning_rate=args.learning_rate,
                   num_epochs=num_epochs, steps_per_epoch=steps_per_epoch,
                   log_dir=args.log_dir, log_frequency=50,
+                  synthetic_rotation=args.with_rotation,
                   num_workers=4).validate()
 
     from unsupervised_pose_estimation_tpu.train.loop import Trainer
@@ -100,7 +104,8 @@ def main():
     # -- eval: held-out scenes (seed disjoint from train seed 0 / val 1) --
     val = SyntheticParallaxDataset(args.num_eval, args.height, args.width,
                                    [0], is_train=False, seed=7,
-                                   load_depth=True)
+                                   load_depth=True,
+                                   with_rotation=args.with_rotation)
     infer = build_infer_step(trainer.bundle)
     errors, const_errors, ratios = [], [], []
     previews = []
@@ -155,56 +160,71 @@ def main():
                 {"params": params["pose"]}, [feats])
             return transformation_from_parameters(aa[:, 0, 0], tt[:, 0, 0])
 
+        # odometry sequences: rotated path when --with_rotation (exact
+        # yawing-pinhole render, nonzero GT rotations so RE measures
+        # something — VERDICT r4 #6); the translation-only path otherwise
+        pose_ds = SyntheticParallaxDataset(
+            args.num_eval, args.height, args.width, [0], is_train=False,
+            seed=7, with_rotation=args.with_rotation)
         n_seq, n_frames = 4, 12
-        ates, res_, null_ates = [], [], []
+        ates, res_, null_ates, null_res = [], [], [], []
         for sidx in range(n_seq):
-            frames = val.render_sequence(sidx, n_frames).astype(
+            frames = pose_ds.render_sequence(sidx, n_frames).astype(
                 np.float32) / 255.0
             # NB pairs are (frame_{i+1}, frame_i) — the REFERENCE eval's
             # ordering (`/root/reference/evaluate_pose.py:191`:
-            # cat(color[1], color[0])), which is the reverse of training-time
-            # ordering for positive offsets, so pose_fwd predicts the INVERSE
-            # of gt_pose(idx, 1) (reference-inherited quirk). Benign on this
-            # benchmark: the gt rotation is identity (inverse-symmetric) and
-            # compute_ate's lstsq scale alignment absorbs the translation
-            # sign. On any benchmark with nonzero gt rotations, compare
-            # against inverted gt locals instead or RE is biased.
+            # cat(color[1], color[0])), the reverse of training-time
+            # ordering for positive offsets, so pose_fwd predicts the
+            # INVERSE local (reference-inherited quirk, ADVICE r3). Score
+            # against the gt by inverting the prediction EXPLICITLY — with
+            # nonzero gt rotations RE is otherwise biased by ~2x the yaw.
             pairs = np.concatenate([frames[1:], frames[:-1]], axis=-1)
-            pred_local = np.asarray(pose_fwd(
+            pred_inv = np.asarray(pose_fwd(
                 state.params, state.batch_stats, jnp.asarray(pairs)))
-            gt_local = np.tile(val.gt_pose(sidx, 1)[None],
-                               (n_frames - 1, 1, 1))
+            pred_local = np.linalg.inv(pred_inv)
+            gt_local = pose_ds.gt_local_sequence(sidx, n_frames)
             zero_local = np.tile(np.eye(4, dtype=np.float32)[None],
                                  (n_frames - 1, 1, 1))
+            # rotation-free null: gt translations with identity rotations —
+            # the bar any real rotation estimate must beat on RE
+            norot_local = gt_local.copy()
+            norot_local[:, :3, :3] = np.eye(3, dtype=np.float32)
             for i in range(n_frames - 1 - 4):
                 gt_xyz = np.array(dump_xyz(gt_local[i:i + 4]))
+                gt_r = np.array(dump_r(gt_local[i:i + 4]))
                 ates.append(compute_ate(
                     gt_xyz, np.array(dump_xyz(pred_local[i:i + 4]))))
-                res_.append(compute_re(np.array(dump_r(gt_local[i:i + 4])),
-                                       np.array(dump_r(pred_local[i:i + 4]))))
+                res_.append(compute_re(
+                    gt_r, np.array(dump_r(pred_local[i:i + 4]))))
                 null_ates.append(compute_ate(
                     gt_xyz, np.array(dump_xyz(zero_local[i:i + 4]))))
+                null_res.append(compute_re(
+                    gt_r, np.array(dump_r(norot_local[i:i + 4]))))
         pose_row = {
             "ate_mean": round(float(np.mean(ates)), 5),
             "ate_std": round(float(np.std(ates)), 5),
             "re_mean": round(float(np.mean(res_)), 5),
             "re_std": round(float(np.std(res_)), 5),
             "zero_motion_null_ate": round(float(np.mean(null_ates)), 5),
+            "zero_rotation_null_re": round(float(np.mean(null_res)), 5),
+            "gt_rotations_nonzero": bool(args.with_rotation),
             "num_tracks": len(ates),
-            # gt_local is constant per sequence, so the windows within one
-            # sequence share identical ground truth: tracks are correlated
-            # across the n_seq sequences only, and ate_std/re_std understate
-            # scene-level variance (ADVICE r3)
+            # windows within one sequence share the same camera path, so
+            # tracks are independent across the n_seq sequences only and
+            # ate_std/re_std understate scene-level variance (ADVICE r3)
             "num_independent_sequences": n_seq,
-            "note": "pred locals are inverse gt locals (reference pair "
-                    "ordering, see comment at pairs=); tracks within a "
+            "note": "predictions are inverted before scoring (reference "
+                    "pair-ordering quirk made explicit); tracks within a "
                     "sequence share gt",
         }
         print(f"\n   Trajectory error: {pose_row['ate_mean']:0.4f}, "
               f"std: {pose_row['ate_std']:0.4f} "
               f"(zero-motion null {pose_row['zero_motion_null_ate']:0.4f})")
         print(f"   Rotation error: {pose_row['re_mean']:0.4f}, "
-              f"std: {pose_row['re_std']:0.4f}")
+              f"std: {pose_row['re_std']:0.4f} "
+              f"(zero-rotation null {pose_row['zero_rotation_null_re']:0.4f}"
+              f", gt rotations {'NONZERO' if args.with_rotation else 'zero'}"
+              f")")
 
     names = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")
     mean_err = np.asarray(errors).mean(0)

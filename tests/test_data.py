@@ -514,3 +514,55 @@ def test_device_augment_item_contract(lung_tree):
         assert "aug_params" in di and "color_aug" not in di
         assert di["aug_params"].shape == (6,)
         np.testing.assert_array_equal(hi["color"], di["color"])
+
+
+def test_synthetic_parallax_rotation_consistency():
+    """with_rotation=True (VERDICT r4 #6): the yawing-camera render must
+    stay geometrically consistent with the framework's own
+    backproject/project/warp under the EXACT rotated GT pose — i.e. RE now
+    scores against real nonzero rotations whose renders are valid. Also
+    pins the gt_local_sequence chaining contract (locals are NOT constant
+    along a yawing path) and that rotations are actually nonzero."""
+    import jax.numpy as jnp
+
+    from unsupervised_pose_estimation_tpu.data import SyntheticParallaxDataset
+    from unsupervised_pose_estimation_tpu.ops import geometry as G
+    from unsupervised_pose_estimation_tpu.ops.warp import grid_sample
+
+    h, w = 64, 128
+    ds = SyntheticParallaxDataset(2, h, w, [0, 1], load_depth=True, seed=4,
+                                  with_rotation=True)
+    item = ds.get_item(1)
+    depth = jnp.asarray(item["depth_gt"])[None]
+    K = np.diag([w, h, 1.0, 1.0]).astype(np.float32) @ item["K_norm"]
+    K = jnp.asarray(K)[None]
+    inv_K = jnp.linalg.inv(K)
+    T = jnp.asarray(ds.gt_pose(1, 1))[None]
+    R = np.asarray(T)[0, :3, :3]
+    assert np.abs(R - np.eye(3)).max() > 1e-3, "rotation is identity"
+
+    cam_points = G.backproject(depth[..., None], inv_K)
+    pix = G.project(cam_points, K, T, h, w)
+    src = jnp.asarray(item["color"][1], jnp.float32)[None] / 255.0
+    warped = np.asarray(grid_sample(src, pix))[0]
+    tgt = item["color"][0].astype(np.float32) / 255.0
+    err = np.abs(warped - tgt).mean(-1)
+    assert np.median(err) < 0.01, float(np.median(err))
+    assert np.mean(err < 0.02) > 0.85, float(np.mean(err < 0.02))
+
+    # gt_local_sequence chains to the global extrinsics; locals vary
+    n = 5
+    locals_ = ds.gt_local_sequence(1, n)
+    chained = np.eye(4, dtype=np.float32)
+    for i in range(n - 1):
+        chained = locals_[i] @ chained
+        np.testing.assert_allclose(chained, ds.gt_pose(1, i + 1),
+                                   rtol=0, atol=1e-5)
+    assert np.abs(locals_[0] - locals_[-1]).max() > 1e-5, \
+        "locals constant despite rotation"
+
+    # the translation-only default is untouched by the rotation plumbing
+    ds0 = SyntheticParallaxDataset(2, h, w, [0, 1], load_depth=True, seed=4)
+    item0 = ds0.get_item(1)
+    assert not np.array_equal(item0["color"][1], item["color"][1])
+    np.testing.assert_array_equal(item0["color"][0], item["color"][0])

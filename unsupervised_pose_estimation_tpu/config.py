@@ -133,6 +133,9 @@ class Options:
     log_jsonl: bool = True
     profile_dir: Optional[str] = None  # write XProf traces here if set
     synthetic_data: bool = False  # fabricated frames (tests/benchmarks)
+    synthetic_rotation: bool = False  # synthetic_parallax camera path also
+    # yaws (exact rotated-pinhole render) so odometry GT rotations are
+    # nonzero and RE measures something (VERDICT r4 #6)
     debug_nans: bool = False  # jax debug_nans (sanitizer analogue, SURVEY §5)
     use_pallas_loss: bool = True  # fused Pallas SSIM+L1 kernel when the
     # backend is TPU and shapes allow (W%128==0, H%8==0, plane fits VMEM);

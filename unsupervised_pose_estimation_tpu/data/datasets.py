@@ -398,7 +398,8 @@ class SyntheticParallaxDataset:
                  frame_idxs: Sequence, is_train: bool = True,
                  sampling_frequency: int = 1, seed: int = 0,
                  load_depth: bool = False, num_layers: int = 3,
-                 cache_items: bool = False, **_):
+                 cache_items: bool = False, with_rotation: bool = False,
+                 **_):
         self.num_items = num_items
         self.height = height
         self.width = width
@@ -408,6 +409,14 @@ class SyntheticParallaxDataset:
         self.seed = seed
         self.load_depth = load_depth
         self.num_layers = num_layers
+        # with_rotation: the camera path additionally yaws by a per-scene
+        # constant rate (exact pinhole render of the rotated rays), so pose
+        # GT has NONZERO rotations — the odometry benchmark's RE metric
+        # measures something (VERDICT r4 #6; with a pure-translation path
+        # RE only ever scored the identity). Default off: the depth quality
+        # rows and photometric-consistency tests use the translation-only
+        # path.
+        self.with_rotation = with_rotation
         # get_item is deterministic per index (epoch is ignored), so items
         # may be memoized: the procedural render costs ~0.2 s/item at
         # 192x640 on a 1-core host, while the pool fits trivially in RAM
@@ -435,6 +444,11 @@ class SyntheticParallaxDataset:
             "d_bg": float(rng.uniform(12.0, 20.0)),
             "bg_tex": self._tex_params(rng),
             "t_x": float(rng.choice([-1.0, 1.0]) * rng.uniform(0.04, 0.09)),
+            # constant per-frame yaw rate (radians); used only when
+            # with_rotation. ~0.3-0.9 deg/frame keeps every rotated ray
+            # forward-facing (rz > 0) across the 192-640 px feeds
+            "yaw_rate": float(rng.choice([-1.0, 1.0])
+                              * rng.uniform(0.005, 0.015)),
             "blobs": blobs,
         }
 
@@ -456,33 +470,84 @@ class SyntheticParallaxDataset:
 
     def gt_pose(self, index: int, i) -> np.ndarray:
         """4x4 transform cam_0 -> cam_i (a point's coordinates change by
-        -camera translation)."""
+        -camera translation, plus the inverse yaw when with_rotation)."""
         scene = self._scene(index)
+        step = float(i) * self.sampling_frequency
+        if not self.with_rotation:
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = -step * scene["t_x"]
+            return T
+        return self._world2cam(scene, step)
+
+    def _world2cam(self, scene: dict, step: float) -> np.ndarray:
+        """Extrinsic of the camera ``step`` frame-units along the path:
+        position (step * t_x, 0, 0), orientation R_y(step * yaw_rate)."""
+        th = step * scene["yaw_rate"] if self.with_rotation else 0.0
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        C = np.array([step * scene["t_x"], 0.0, 0.0], np.float32)
         T = np.eye(4, dtype=np.float32)
-        T[0, 3] = -float(i) * self.sampling_frequency * scene["t_x"]
+        T[:3, :3] = R.T
+        T[:3, 3] = -R.T @ C
         return T
 
-    def _render(self, scene: dict, cam_x: float, want_depth: bool):
+    def gt_local_sequence(self, index: int, n_frames: int) -> np.ndarray:
+        """(n_frames-1, 4, 4) EXACT local pose per consecutive frame pair
+        of render_sequence, in the convention the eval chains
+        (`/root/reference/evaluate_pose.py:201-213`): L_i maps camera-i
+        coordinates to camera-(i+1) coordinates, L_i = E_{i+1} @ inv(E_i).
+        With a yawing path the locals are NOT constant in camera frame
+        (the translation direction rotates), unlike the tiled gt_pose(1)
+        of the translation-only benchmark."""
+        scene = self._scene(index)
+        Es = [self._world2cam(scene, float(i) * self.sampling_frequency)
+              for i in range(n_frames)]
+        return np.stack([Es[i + 1] @ np.linalg.inv(Es[i])
+                         for i in range(n_frames - 1)], 0)
+
+    def _render(self, scene: dict, cam_x: float, want_depth: bool,
+                yaw: float = 0.0):
         h, w = self.height, self.width
         fx, fy = self.K_NORM[0, 0] * w, self.K_NORM[1, 1] * h
         cx, cy = self.K_NORM[0, 2] * w, self.K_NORM[1, 2] * h
         uu, vv = np.meshgrid(np.arange(w, dtype=np.float32),
                              np.arange(h, dtype=np.float32))
-        ray_y = (vv - cy) / fy
-        # plane coords at depth d: a = (u-cx)/fx + cam_x/d (world x / depth)
-        a_bg = (uu - cx) / fx + cam_x / scene["d_bg"]
+        xn = (uu - cx) / fx
+        yn = (vv - cy) / fy
+        if yaw != 0.0:
+            # exact pinhole render with the camera yawed about +y: ray
+            # (xn, yn, 1) in camera coords -> R_y(yaw) @ ray in world
+            # coords; intersect with the fronto-parallel plane z = d at
+            # world x/z = xdir, y/z = ray_y
+            c, s = float(np.cos(yaw)), float(np.sin(yaw))
+            rz = c - s * xn
+            assert float(rz.min()) > 0.05, "yaw too large for the FOV"
+            xdir = (c * xn + s) / rz
+            ray_y = yn / rz
+        else:
+            xdir = xn
+            ray_y = yn
+        # plane coords at depth d: a = xdir + cam_x/d (world x / depth)
+        a_bg = xdir + cam_x / scene["d_bg"]
         img = self._tex(scene["bg_tex"], a_bg, ray_y)
-        depth = np.full((h, w), scene["d_bg"], np.float32) if want_depth \
-            else None
+        depth = None
+        if want_depth:
+            # per-pixel CAMERA-FRAME depth z = d / (ray z-component);
+            # identical to the plane depth when yaw == 0
+            depth = np.full((h, w), scene["d_bg"], np.float32)
+            if yaw != 0.0:
+                depth = scene["d_bg"] / rz
         for blob in scene["blobs"]:  # far -> near: nearer overwrite
-            a = (uu - cx) / fx + cam_x / blob["depth"]
+            a = xdir + cam_x / blob["depth"]
             ca, cb = blob["center"]
             ra, rb = blob["radii"]
             m = ((a - ca) / ra) ** 2 + ((ray_y - cb) / rb) ** 2 < 1.0
             tex = self._tex(blob["tex"], a, ray_y)
             img = np.where(m[..., None], tex, img)
             if want_depth:
-                depth = np.where(m, np.float32(blob["depth"]), depth)
+                d_here = (blob["depth"] / rz if yaw != 0.0
+                          else np.float32(blob["depth"]))
+                depth = np.where(m, d_here, depth)
         return img, depth
 
     def render_sequence(self, index: int, n_frames: int) -> np.ndarray:
@@ -495,8 +560,10 @@ class SyntheticParallaxDataset:
         scene = self._scene(index)
         frames = []
         for i in range(n_frames):
-            cam_x = float(i) * self.sampling_frequency * scene["t_x"]
-            img, _ = self._render(scene, cam_x, want_depth=False)
+            step = float(i) * self.sampling_frequency
+            yaw = step * scene["yaw_rate"] if self.with_rotation else 0.0
+            img, _ = self._render(scene, step * scene["t_x"],
+                                  want_depth=False, yaw=yaw)
             frames.append((img * 255.0 + 0.5).astype(np.uint8))
         return np.stack(frames, 0)
 
@@ -508,9 +575,11 @@ class SyntheticParallaxDataset:
         colors = []
         depth0 = None
         for i in self.frame_idxs:
-            cam_x = float(i) * self.sampling_frequency * scene["t_x"]
-            img, dep = self._render(scene, cam_x,
-                                    want_depth=(self.load_depth and i == 0))
+            step = float(i) * self.sampling_frequency
+            yaw = step * scene["yaw_rate"] if self.with_rotation else 0.0
+            img, dep = self._render(scene, step * scene["t_x"],
+                                    want_depth=(self.load_depth and i == 0),
+                                    yaw=yaw)
             if dep is not None:
                 depth0 = dep
             colors.append((img * 255.0 + 0.5).astype(np.uint8))

@@ -93,7 +93,8 @@ class Trainer:
                       else SyntheticDataset)
             n_items = max(4 * cfg.batch_size,
                           (cfg.steps_per_epoch or 4) * cfg.batch_size)
-            extra = ({"cache_items": True}
+            extra = ({"cache_items": True,
+                      "with_rotation": cfg.synthetic_rotation}
                      if ds_cls is SyntheticParallaxDataset else {})
             train_ds = ds_cls(n_items, cfg.height, cfg.width,
                               frame_ids,
