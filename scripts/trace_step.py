@@ -58,12 +58,18 @@ def build():
     state = create_train_state(bundle, jax.random.PRNGKey(0),
                                cfg.learning_rate)
     step = build_train_step(bundle, donate=False)
-    rng = np.random.default_rng(0)
-    u8 = jnp.asarray(rng.integers(0, 256, size=(B, 3, H, W, 3)), jnp.uint8)
-    batch = {"color": u8, "color_aug": u8,
-             "K_norm": jnp.tile(jnp.asarray(
-                 [[0.635, 0, 0.48, 0], [0, 0.634, 0.5, 0],
-                  [0, 0, 1, 0], [0, 0, 0, 1]], jnp.float32), (B, 1, 1))}
+    # Structured parallax frames, NOT iid noise: a couple of self-training
+    # Adam steps on noise push the pose net off the warp ladder's fast
+    # rungs (y-span gates sit at 15/16 and 39/40 at scratch init with zero
+    # headroom) and the trace then measures the degraded program — the r4
+    # bench root-cause (BASELINE.md). bench.py made the same switch.
+    from unsupervised_pose_estimation_tpu.data.datasets import \
+        SyntheticParallaxDataset
+
+    ds = SyntheticParallaxDataset(B, H, W, [0, -1, 1])
+    items = [ds.get_item(i) for i in range(B)]
+    batch = jax.device_put(
+        {k: np.stack([it[k] for it in items]) for k in items[0]})
     return step, state, batch
 
 
@@ -73,6 +79,12 @@ def capture(n_steps=3):
     print("compiling...", file=sys.stderr)
     state, losses = step(state, batch, key)
     float(losses["loss"])  # value fetch: the only sync on the axon backend
+    # converge-first warmup (bench.py/bench_pipeline do the same): settle
+    # the pose net onto realistic flows so every warp site holds the rung
+    # real training runs on
+    for _ in range(15):
+        state, losses = step(state, batch, key)
+    float(losses["loss"])
     t0 = time.perf_counter()
     with jax.profiler.trace(TRACE_DIR):
         for _ in range(n_steps):
