@@ -17,6 +17,7 @@ Prints one JSON line per check: {"check": ..., "max_abs_err": ...,
 """
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -24,7 +25,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-H, W, B, C = 192, 640, 4, 3
+# Shape-parameterized via env so the same checks validate non-flagship
+# feeds on hardware — e.g. DIAG_H=320 DIAG_W=1024 proves the kernels at the
+# upstream monodepth2 1024x320 config (VERDICT r4 #7) before the step's
+# dispatch gate admits that plane size.
+H = int(os.environ.get("DIAG_H", 192))
+W = int(os.environ.get("DIAG_W", 640))
+B = int(os.environ.get("DIAG_B", 4))
+C = 3
 
 
 def _mkflow(rng, scale=6.0):

@@ -87,7 +87,12 @@ def main():
                   num_epochs=num_epochs, steps_per_epoch=steps_per_epoch,
                   log_dir=args.log_dir, log_frequency=50,
                   synthetic_rotation=args.with_rotation,
-                  num_workers=4).validate()
+                  num_workers=0).validate()
+    # num_workers=0 is load-bearing on this 1-core container: the pool is
+    # memoized in RAM by the Dataset, and worker PROCESSES each hold (and
+    # keep re-rendering) their own un-shared copy — the r5 10k-step run
+    # crawled at ~5 items/s (one epoch of pool re-render per epoch) until
+    # loading moved in-process. Real multi-core hosts can restore workers.
 
     from unsupervised_pose_estimation_tpu.train.loop import Trainer
 

@@ -222,3 +222,30 @@ def test_conv3x3_packed_zero_pad_falls_back_gracefully():
     got = depth_to_space(m.apply(params, space_to_depth(x), packed=True))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_packed_skip_conv_matches_s2d_concat():
+    """packed_skip_conv3x3(skip, K_s) + packed_conv3x3(xp, K_x) must equal
+    the concatenated-input packed conv (and the full-res reflect conv): the
+    skip's slice of the kernel runs as a stride-2 4x4 conv on the FULL-RES
+    skip, emitting packed output directly — the decoder's skip-join seam
+    (r5 VERDICT #2: the s2d transpose pair was the largest copy seam)."""
+    from unsupervised_pose_estimation_tpu.ops.packed import (
+        depth_to_space, packed_conv3x3, packed_skip_conv3x3, space_to_depth)
+
+    rng = np.random.default_rng(3)
+    b, h, w, cx, cs, co = 2, 16, 24, 5, 7, 6
+    x = jnp.asarray(rng.normal(size=(b, h, w, cx)), jnp.float32)
+    skip = jnp.asarray(rng.normal(size=(b, h, w, cs)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, cx + cs, co)), jnp.float32)
+
+    # reference: full-res reflect-pad conv on the channel concat
+    full = jnp.pad(jnp.concatenate([x, skip], -1),
+                   [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
+    ref = jax.lax.conv_general_dilated(
+        full, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    got = packed_conv3x3(space_to_depth(x), k[:, :, :cx, :]) \
+        + packed_skip_conv3x3(skip, k[:, :, cx:, :])
+    np.testing.assert_allclose(np.asarray(depth_to_space(got)),
+                               np.asarray(ref), rtol=1e-4, atol=1e-5)

@@ -29,11 +29,13 @@ class DepthDecoder(nn.Module):
     """``packed_tail`` (fork variant only) carries levels 1 and 0 — the
     low-channel, high-resolution tail — in space-to-depth layout
     (ops.packed): each deconv keeps its natural packed output, skip features
-    join via space_to_depth + per-subpixel concat, the ConvBlocks and
-    dispconvs run as packed convs (~3x faster on the MXU than their 16-32
-    channel full-res forms, fwd and bwd), and BatchNorm groups its stats per
-    original channel via a pure reshape. Bit-for-bit the same parameters and
-    (up to f32 reduction order) the same outputs."""
+    stay full-res and contribute through a stride-2 4x4 conv that emits
+    packed output directly (packed_skip_conv3x3 — no s2d transpose on the
+    activation), the ConvBlocks and dispconvs run as packed convs (~3x
+    faster on the MXU than their 16-32 channel full-res forms, fwd and
+    bwd), and BatchNorm groups its stats per original channel via a pure
+    reshape. Bit-for-bit the same parameters and (up to f32 reduction
+    order) the same outputs."""
 
     scales: Tuple[int, ...] = (0, 1, 2, 3)
     num_output_channels: int = 1
@@ -45,7 +47,7 @@ class DepthDecoder(nn.Module):
     @nn.compact
     def __call__(self, input_features: Sequence[jnp.ndarray],
                  train: bool = False) -> Dict[int, jnp.ndarray]:
-        from ..ops.packed import depth_to_space, space_to_depth
+        from ..ops.packed import depth_to_space
 
         use_bn = self.variant == "fork"
         outputs = {}
@@ -65,20 +67,21 @@ class DepthDecoder(nn.Module):
                 x_packed = packed
             else:
                 x = upsample2x_nearest(x)
+            skip_full = None
             if self.use_skips and i > 0:
                 skip = input_features[i - 1].astype(self.compute_dtype)
                 if x_packed:
-                    # concat per subpixel block: (.., 4, cx) ++ (.., 4, cs)
-                    skip = space_to_depth(skip)
-                    b_, hp, wp, c4 = x.shape
-                    x = jnp.concatenate(
-                        [x.reshape(b_, hp, wp, 4, c4 // 4),
-                         skip.reshape(b_, hp, wp, 4, -1)], axis=-1
-                    ).reshape(b_, hp, wp, -1)
+                    # the skip stays FULL-RES: its slice of upconv_i_1 runs
+                    # as a stride-2 4x4 conv emitting packed output directly
+                    # (ops.packed.packed_skip_conv3x3) — no s2d transpose on
+                    # the activation and 16/9 nominal FLOPs instead of 4x.
+                    # Parameters remain the concatenated-form kernel.
+                    skip_full = skip
                 else:
                     x = jnp.concatenate([x, skip], axis=-1)
             x = ConvBlock(NUM_CH_DEC[i], self.compute_dtype,
-                          name=f"upconv_{i}_1")(x, packed=x_packed)
+                          name=f"upconv_{i}_1")(x, packed=x_packed,
+                                                skip=skip_full)
             if use_bn:
                 bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                   epsilon=1e-5, dtype=self.compute_dtype,

@@ -40,13 +40,31 @@ class Conv3x3(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, packed: bool = False):
+    def __call__(self, x, packed: bool = False, skip=None):
+        """``skip`` (packed mode only): a FULL-RES (B, 2Hp, 2Wp, Cs) tensor
+        whose channels sit AFTER x's original channels in the conv input —
+        the parameters stay the single (3, 3, Cx + Cs, features) kernel of
+        the concatenated form, but the skip's slice runs as a stride-2 4x4
+        conv on the full-res tensor (ops.packed.packed_skip_conv3x3), so
+        the activation is never space-to-depth'd. Exact up to f32 add order
+        vs concatenating s2d(skip) into the packed input."""
         if packed:
             from ..ops.packed import (depth_to_space, packed_conv3x3,
-                                      space_to_depth)
+                                      packed_skip_conv3x3, space_to_depth)
 
-            kernel, bias = _ConvP(self.features, x.shape[-1] // 4,
+            cx = x.shape[-1] // 4
+            cs = skip.shape[-1] if skip is not None else 0
+            kernel, bias = _ConvP(self.features, cx + cs,
                                   name="conv")()
+            if skip is not None:
+                assert self.use_refl, "skip split path is reflect-pad only"
+                y = packed_conv3x3(
+                    x.astype(self.compute_dtype),
+                    kernel[:, :, :cx, :].astype(self.compute_dtype))
+                y = y + packed_skip_conv3x3(
+                    skip.astype(self.compute_dtype),
+                    kernel[:, :, cx:, :].astype(self.compute_dtype))
+                return y + jnp.tile(bias, 4).astype(self.compute_dtype)
             if not self.use_refl:
                 # packed_conv3x3's kernel assembly bakes in reflect-pad
                 # boundary taps; for zero-pad fall back to unpack -> plain
@@ -74,9 +92,9 @@ class ConvBlock(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, packed: bool = False):
+    def __call__(self, x, packed: bool = False, skip=None):
         return nn.elu(Conv3x3(self.features, compute_dtype=self.compute_dtype,
-                              name="conv3x3")(x, packed=packed))
+                              name="conv3x3")(x, packed=packed, skip=skip))
 
 
 class Deconv2x(nn.Module):
@@ -140,15 +158,17 @@ class Deconv2x(nn.Module):
             padding=((0, 1), (0, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )  # (b, h, w, 4*f) in (r, s, c) packed layout
+        if self.use_bias:
+            # add in packed layout BEFORE any depth-to-space: per-channel
+            # bias is invariant under the (r, s) interleave, and adding on
+            # the conv side lets XLA fuse it into the conv epilogue instead
+            # of splitting the d2s transpose-copy from its consumer
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + jnp.tile(bias, 4).astype(self.compute_dtype)
         if not keep_packed:
             # depth-to-space: channel blocks (r, s) -> y[2i+r, 2j+s]
             y = y.reshape(b, h, w, 2, 2, f)
             y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, f)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            if keep_packed:
-                bias = jnp.tile(bias, 4)
-            y = y + bias.astype(self.compute_dtype)
         return y
 
 

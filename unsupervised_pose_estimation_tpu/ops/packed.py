@@ -83,6 +83,50 @@ def assemble_packed_conv3x3(kernel):
     return k3
 
 
+def assemble_skip_conv4x4(kernel):
+    """(3, 3, Cin, Cout) -> (4, 4, Cin, 4Cout) stride-2 full-res kernel
+    emitting packed output directly.
+
+    Output sub-channel block (r, s, co) at packed position (p, q) equals
+    the full-res reflect-pad conv output at (2p + r, 2q + s): tap (a, b) of
+    the original kernel reads PADDED full-res row 2p + (r + a), col
+    2q + (s + b) — i.e. 4x4 tap position (r + a, s + b) of a stride-2
+    window anchored at (2p, 2q). So the original 3x3 kernel lands at offset
+    (r, s) inside the 4x4 envelope of output block (r, s); the remaining 7
+    tap-slots are zero."""
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    k4 = jnp.zeros((4, 4, cin, 4 * cout), kernel.dtype)
+    for r in (0, 1):
+        for s in (0, 1):
+            co = (r * 2 + s) * cout
+            k4 = k4.at[r:r + 3, s:s + 3, :, co:co + cout].set(kernel)
+    return k4
+
+
+def packed_skip_conv3x3(skip, kernel):
+    """Reflect-pad(1) 3x3 stride-1 conv on a FULL-RES input, emitting the
+    space-to-depth packed result directly — one (4, 4, Cin, 4Cout) stride-2
+    dense conv on the reflect-padded input.
+
+    Exactly ``space_to_depth(conv3x3_reflect(skip, kernel))`` but (a) the
+    6-D s2d transpose never touches the activation (forward or backward —
+    those copies were the largest single seam of the packed decoder tail in
+    the r5 HEAD trace), and (b) FLOPs are 16/9 of nominal instead of the 4x
+    paid by s2d + packed_conv3x3 (the 4x4 envelope holds the 9 taps once,
+    while packing multiplies Cin by 4). Used for the U-Net skip join at the
+    packed decoder levels: the skip stays in the encoder's full-res layout
+    and its slice of the conv runs here, summed with the packed_conv3x3 of
+    the packed operand (conv is linear in its input channels).
+    """
+    import jax
+
+    k4 = assemble_skip_conv4x4(kernel)
+    xp = jnp.pad(skip, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xp, k4, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def packed_conv3x3(xp, kernel):
     """Reflect-pad(1) 3x3 stride-1 conv, evaluated in packed layout.
 

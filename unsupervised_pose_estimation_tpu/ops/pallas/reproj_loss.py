@@ -27,6 +27,26 @@ from jax.experimental.pallas import tpu as pltpu
 _SSIM_C1 = 0.01 ** 2
 _SSIM_C2 = 0.03 ** 2
 
+# Largest (H * W) plane the full-plane kernels hold without raising the
+# Mosaic scoped-VMEM limit: the default 16 MiB budget fits the 192*640
+# flagship (~0.49 MB/plane) with room, but the upstream monodepth2
+# 1024x320 feed (1.31 MB/plane) needs 16.39 MiB of kernel stack (measured:
+# the v5e compile OOMs by 400 KiB). Beyond this plane size the calls pass
+# CompilerParams(vmem_limit_bytes=_VMEM_RAISED) — validated on v5e at
+# 320x1024 by scripts/diag_grad_tpu.py (DIAG_H=320 DIAG_W=1024).
+PLANE_DEFAULT_VMEM = 192 * 640
+# v5e VMEM is 128 MiB/core; 48 MiB of scoped stack leaves ample room for
+# the streamed refs while admitting ~3x the 1024x320 stack need.
+_VMEM_RAISED = 48 * 1024 * 1024
+
+
+def _params(h, w):
+    """compiler_params raising the scoped-VMEM cap for large planes (None
+    keeps Mosaic's default 16 MiB budget at canonical plane sizes)."""
+    if h * w <= PLANE_DEFAULT_VMEM:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_RAISED)
+
 
 def _kernel(inv_c: float, w: int, pred_ref, target_ref, out_ref):
     """One (batch, channel) plane per grid step; pred/target blocks are
@@ -182,6 +202,7 @@ def _backward(pred_p, target_p, g, interpret=False):
         out_shape=(jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
                    jax.ShapeDtypeStruct((b, c, h, w), jnp.float32)),
         interpret=interpret,
+        compiler_params=_params(h, w),
     )(pred_p, target_p, g)
     return gp, gt
 
@@ -205,6 +226,7 @@ def _forward(pred_p, target_p, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         interpret=interpret,
+        compiler_params=_params(h, w),
     )(p, t)
     return out[..., None]
 

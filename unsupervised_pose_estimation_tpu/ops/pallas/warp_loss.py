@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .reproj_loss import _SSIM_C1, _SSIM_C2, _forward as _loss_forward
+from .reproj_loss import (_SSIM_C1, _SSIM_C2, _forward as _loss_forward,
+                          _params as _vmem_params)
 from .warp_kernel import LANE, MB7, RBP, _sample_impl, _v8_inputs
 
 __all__ = ["warp_reproj_loss"]
@@ -243,6 +244,7 @@ def _warp_loss_fused_v9(src, x0i, yl, ymin, wx, wy, target_p,
             pltpu.VMEM((c, 1, w), jnp.float32),     # tpp
         ],
         interpret=interpret,
+        compiler_params=_vmem_params(h, w),
     )(src, x0i, yl, ymin, wx, wy, target_p)
     return loss, warped, ddx, ddy
 
@@ -349,6 +351,7 @@ def _warp_loss_bwd_call(warped, target_p, ddx, ddy, g, interpret=False):
         out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.float32),
                    jax.ShapeDtypeStruct((b, h, w), jnp.float32)),
         interpret=interpret,
+        compiler_params=_vmem_params(h, w),
     )(warped, target_p, ddx, ddy, g)
 
 
