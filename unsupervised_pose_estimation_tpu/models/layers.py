@@ -79,8 +79,14 @@ class Conv3x3(nn.Module):
             y = packed_conv3x3(x.astype(self.compute_dtype),
                                kernel.astype(self.compute_dtype))
             return y + jnp.tile(bias, 4).astype(self.compute_dtype)
-        mode = "reflect" if self.use_refl else "constant"
-        x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode=mode)
+        if self.use_refl:
+            # DUS-built pad: jnp.pad's fused-concat lowering gets a W-minor
+            # layout and two full-tensor copies per call (ops.packed.
+            # _pad1_dus docstring); bit-exact, grads included
+            from ..ops.packed import _pad1_dus
+            x = _pad1_dus(x, "reflect")
+        else:
+            x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
         return nn.Conv(self.features, (3, 3), padding="VALID",
                        dtype=self.compute_dtype, name="conv")(x)
 

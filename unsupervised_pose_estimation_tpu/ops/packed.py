@@ -30,7 +30,44 @@ checkpoints and .pth import shims are unaffected.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _pad1_dus(x, mode):
+    """Replicate/reflect pad of 1 on H and W, built from dynamic-update-
+    slices into a fresh buffer instead of ``jnp.pad``.
+
+    Semantically identical to ``jnp.pad(x, [(0,0),(1,1),(1,1),(0,0)],
+    mode)`` for mode in {"edge", "reflect"} — but XLA lays out jnp.pad's
+    lowering (one fused double-concatenate) W-minor ({2,3,1,0}) while both
+    its producer and the consuming convolution are C-minor ({3,0,2,1}),
+    inserting TWO full-tensor layout copies around every pad at the packed
+    decoder tail (~0.4 ms/step/site at 640x192x12, r5 HEAD trace). The DUS
+    chain inherits the consumer's layout: compile-only micro A/B of
+    producer-conv -> pad -> VALID-conv (fwd+bwd) drops 6 copy ops to 2 and
+    halves the copies' estimated cycles, bit-exact.
+    """
+    b, h, w, c = x.shape
+    # row index the out-of-range rows map to (edge: replicate; reflect:
+    # full-res reflect == packed-row bounce, see assemble_packed_conv3x3)
+    t = 1 if mode == "reflect" else 0
+    bo = h - 2 if mode == "reflect" else h - 1
+    l_ = 1 if mode == "reflect" else 0
+    r_ = w - 2 if mode == "reflect" else w - 1
+    buf = jnp.zeros((b, h + 2, w + 2, c), x.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, x, (0, 1, 1, 0))
+    buf = jax.lax.dynamic_update_slice(buf, x[:, t:t + 1], (0, 0, 1, 0))
+    buf = jax.lax.dynamic_update_slice(buf, x[:, bo:bo + 1],
+                                       (0, h + 1, 1, 0))
+    # full-height padded columns, corners following the same row rule
+    lcol = x[:, :, l_:l_ + 1]
+    rcol = x[:, :, r_:r_ + 1]
+    lcol = jnp.concatenate([lcol[:, t:t + 1], lcol, lcol[:, bo:bo + 1]], 1)
+    rcol = jnp.concatenate([rcol[:, t:t + 1], rcol, rcol[:, bo:bo + 1]], 1)
+    buf = jax.lax.dynamic_update_slice(buf, lcol, (0, 0, 0, 0))
+    buf = jax.lax.dynamic_update_slice(buf, rcol, (0, 0, w + 1, 0))
+    return buf
 
 
 def space_to_depth(x):
@@ -118,10 +155,8 @@ def packed_skip_conv3x3(skip, kernel):
     and its slice of the conv runs here, summed with the packed_conv3x3 of
     the packed operand (conv is linear in its input channels).
     """
-    import jax
-
     k4 = assemble_skip_conv4x4(kernel)
-    xp = jnp.pad(skip, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    xp = _pad1_dus(skip, "reflect")
     return jax.lax.conv_general_dilated(
         xp, k4, window_strides=(2, 2), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -133,10 +168,8 @@ def packed_conv3x3(xp, kernel):
     xp: (B, Hp, Wp, 4Cin) packed input; kernel: (3, 3, Cin, Cout) original
     full-resolution conv weights. Returns packed (B, Hp, Wp, 4Cout).
     """
-    import jax
-
     k3 = assemble_packed_conv3x3(kernel)
-    xp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    xp = _pad1_dus(xp, "edge")
     return jax.lax.conv_general_dilated(
         xp, k3, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
